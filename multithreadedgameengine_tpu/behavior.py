@@ -1,0 +1,358 @@
+"""Entity classes and the batched logic phase — the GameObject/tick() analog.
+
+The reference's L2 entity layer (src/core/gameObject.js) is an OO façade over
+SoA arrays: users subclass GameObject, declare ``static components = [...]``,
+and implement lifecycle hooks (:597-783). Its logic workers then run
+``tick(dtRatio)`` per entity over an atomic job queue (logic_worker.js:320-370).
+
+TPU-native translation:
+ - an :class:`EntityClass` declares components plus three hooks:
+     * ``setup(ctx)``       — host, once at init, vectorized over the class's
+                              slot range (gameObject.js setup(), run once per
+                              instance at worker start);
+     * ``on_spawned(ctx, spawn_config)`` — host, per spawn, may consume the
+                              seeded RNG (gameObject.js:943);
+     * ``tick(ctx)``        — DEVICE code: a pure JAX function of a per-entity
+                              :class:`TickCtx`, vmapped over the class's slot
+                              range and fused into the jitted step. Replaces
+                              the job-queue data parallelism with SPMD batching
+                              (SURVEY.md §2.5).
+ - ``tick`` returns a dict of ``"component.field" -> value`` self-writes (the
+   analog of ``this.rigidBody.ax = ...``), plus the optional special keys
+   ``"despawn"`` (bool — despawn self, gameObject.js:668-691) and
+   ``"emit"`` (particle emission request, wired in the particles round).
+
+Field addressing uses World attribute paths: ``rigid_body.ax``, ``sprite.tint``,
+``flocking.turn_factor`` (custom components are mounted under their snake-case
+name in ``world.custom``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .components import (
+    Collider,
+    LightEmitter,
+    MouseComponent,
+    RigidBody,
+    ShadowCaster,
+    SpriteRenderer,
+    Transform,
+)
+from .config import EngineConfig
+from .inputs import InputState, key_index
+from .ops.spatial import NeighborLists
+from .state import World
+
+
+def snake_case(name: str) -> str:
+    return re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+
+
+# World attribute name for each built-in component class
+BUILTIN_PATHS = {
+    Transform: "transform",
+    RigidBody: "rigid_body",
+    Collider: "collider",
+    SpriteRenderer: "sprite",
+    MouseComponent: "mouse",
+    LightEmitter: "light",
+    ShadowCaster: "shadow",
+}
+
+# Ergonomic aliases (gameObject.js:226-295 this.x/.vx accessors)
+FIELD_ALIASES = {
+    "x": "transform.x",
+    "y": "transform.y",
+    "rotation": "transform.rotation",
+    "vx": "rigid_body.vx",
+    "vy": "rigid_body.vy",
+    "ax": "rigid_body.ax",
+    "ay": "rigid_body.ay",
+    "radius": "collider.radius",
+    "visual_range": "collider.visual_range",
+    "tint": "sprite.tint",
+    "alpha": "sprite.alpha",
+}
+
+
+def resolve_field(world: World, path: str) -> Tuple[Any, str, str]:
+    """Resolve 'component.field' (or an alias) to (component_obj, comp_attr,
+    field). Custom components resolve through world.custom."""
+    path = FIELD_ALIASES.get(path, path)
+    comp_name, _, field = path.partition(".")
+    if not field:
+        raise KeyError(f"field path {path!r} must be 'component.field'")
+    if hasattr(world, comp_name):
+        comp = getattr(world, comp_name)
+    elif comp_name in world.custom:
+        comp = world.custom[comp_name]
+    else:
+        raise KeyError(f"unknown component {comp_name!r} in path {path!r}")
+    if not hasattr(comp, field):
+        raise KeyError(f"component {comp_name!r} has no field {field!r}")
+    return comp, comp_name, field
+
+
+def read_field(world: World, path: str) -> jnp.ndarray:
+    comp, _, field = resolve_field(world, path)
+    return getattr(comp, field)
+
+
+def write_field(world: World, path: str, value: jnp.ndarray) -> World:
+    comp, comp_name, field = resolve_field(world, path)
+    new_comp = comp.replace(**{field: value})
+    if hasattr(world, comp_name):
+        return world.replace(**{comp_name: new_comp})
+    custom = dict(world.custom)
+    custom[comp_name] = new_comp
+    return world.replace(custom=custom)
+
+
+class EntityClass:
+    """Base entity class. Subclass, declare ``components``, override hooks.
+
+    Registration (engine.register_entity_class) assigns ``entity_type`` ids in
+    registration order and walks base classes exactly like the reference's
+    parent-chain auto-registration (gameEngine.js:389-457): parent classes get
+    a 0-count registration so their type ids exist and component unions
+    include inherited components (utils.js:199-221 collectComponents).
+    """
+
+    components: Sequence[Any] = ()
+
+    # populated by the engine at registration
+    entity_type: int = -1
+    start_index: int = 0
+    count: int = 0
+
+    # ---- host-side lifecycle hooks ----
+    @classmethod
+    def setup(cls, ctx: "SetupCtx") -> Optional[Dict[str, Any]]:
+        """Once at init, vectorized over the class range. Return
+        {'component.field': scalar-or-[count]-array} defaults."""
+        return None
+
+    @classmethod
+    def on_spawned(cls, ctx: "SpawnCtx", spawn_config: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+        """Per spawn (host). Return {'component.field': scalar} writes."""
+        return None
+
+    @classmethod
+    def on_despawned(cls, index: int) -> None:
+        """Per despawn (host)."""
+
+    # ---- host-side collision callbacks (Enter/Stay/Exit; logic_worker.js:417-526) ----
+    on_collision_enter: Optional[Callable[[int, int], None]] = None
+    on_collision_stay: Optional[Callable[[int, int], None]] = None
+    on_collision_exit: Optional[Callable[[int, int], None]] = None
+
+    # ---- device-side hook ----
+    tick: Optional[Callable[["TickCtx"], Optional[Dict[str, Any]]]] = None
+
+    @classmethod
+    def collect_components(cls) -> List[Any]:
+        """Union of ``components`` up the class hierarchy, Transform always
+        included (utils.js:199-221)."""
+        seen: List[Any] = []
+        for klass in cls.__mro__:
+            if klass is EntityClass:
+                break
+            for comp in getattr(klass, "components", ()):
+                if comp not in seen:
+                    seen.append(comp)
+        if Transform not in seen:
+            seen.append(Transform)
+        return seen
+
+
+class SetupCtx:
+    """Host context for EntityClass.setup."""
+
+    def __init__(self, config: EngineConfig, start: int, count: int, rng):
+        self.config = config
+        self.start = start
+        self.count = count
+        self.rng = rng  # shared Mulberry32 stream
+
+    def indices(self) -> np.ndarray:
+        return np.arange(self.start, self.start + self.count)
+
+
+class SpawnCtx:
+    """Host context for EntityClass.on_spawned."""
+
+    def __init__(self, config: EngineConfig, index: int, rng):
+        self.config = config
+        self.index = index
+        self.rng = rng
+
+
+class TickCtx:
+    """Per-entity device view handed to ``tick`` inside vmap.
+
+    ``i`` and the neighbor arrays are per-entity (batched by vmap); ``world``
+    and ``inputs`` are closed-over unbatched pytrees, so reads like
+    ``ctx.world.transform.x[j]`` are gathers — the exact analog of the
+    reference's direct SoA array reads in hot loops (boid.js:137-240).
+    """
+
+    __slots__ = ("i", "world", "neighbor_ids", "neighbor_d2", "neighbor_count",
+                 "inputs", "dt_ratio", "config")
+
+    def __init__(self, i, world: World, neighbor_ids, neighbor_d2,
+                 neighbor_count, inputs: InputState, dt_ratio, config: EngineConfig):
+        self.i = i
+        self.world = world
+        self.neighbor_ids = neighbor_ids  # int32[K], -1 padded
+        self.neighbor_d2 = neighbor_d2  # f32[K]
+        self.neighbor_count = neighbor_count  # int32
+        self.inputs = inputs
+        self.dt_ratio = dt_ratio
+        self.config = config
+
+    # -- self accessors (this.x / this.vx ... gameObject.js:226-295) --
+    def field(self, path: str) -> jnp.ndarray:
+        return read_field(self.world, path)[self.i]
+
+    @property
+    def x(self): return self.world.transform.x[self.i]
+    @property
+    def y(self): return self.world.transform.y[self.i]
+    @property
+    def rotation(self): return self.world.transform.rotation[self.i]
+    @property
+    def entity_type(self): return self.world.transform.entity_type[self.i]
+    @property
+    def vx(self): return self.world.rigid_body.vx[self.i]
+    @property
+    def vy(self): return self.world.rigid_body.vy[self.i]
+    @property
+    def ax(self): return self.world.rigid_body.ax[self.i]
+    @property
+    def ay(self): return self.world.rigid_body.ay[self.i]
+    @property
+    def speed(self): return self.world.rigid_body.speed[self.i]
+    @property
+    def velocity_angle(self): return self.world.rigid_body.velocity_angle[self.i]
+
+    # -- neighbors (this.neighbors / updateNeighbors, gameObject.js:700-729) --
+    @property
+    def neighbor_mask(self) -> jnp.ndarray:
+        # slot-form lists: a slot is live iff it holds a real id (see
+        # NeighborLists layout note in ops/spatial.py)
+        return self.neighbor_ids >= 0
+
+    @property
+    def neighbor_ids_safe(self) -> jnp.ndarray:
+        return jnp.maximum(self.neighbor_ids, 0)
+
+    def gather(self, path_or_array) -> jnp.ndarray:
+        """Gather a world field (or raw [N] array) at the neighbor indices."""
+        arr = (
+            read_field(self.world, path_or_array)
+            if isinstance(path_or_array, str)
+            else path_or_array
+        )
+        return arr[self.neighbor_ids_safe]
+
+    # -- input shortcuts (Mouse statics / Keyboard proxy) --
+    @property
+    def mouse_x(self): return self.inputs.mouse_x
+    @property
+    def mouse_y(self): return self.inputs.mouse_y
+    @property
+    def mouse_down(self): return self.inputs.mouse_buttons[0]
+
+    def key(self, name: str) -> jnp.ndarray:
+        return self.inputs.keys[key_index(name)]
+
+
+def run_logic_phase(
+    world: World,
+    nbr: NeighborLists,
+    inputs: InputState,
+    cfg: EngineConfig,
+    type_ranges: Sequence[Tuple[type, int, int]],
+) -> World:
+    """Run each registered class's tick over its slot range, masked by
+    ``active`` (logic workers only tick active entities,
+    logic_worker.js:337-369). ``type_ranges``: (EntityClass, start, count).
+
+    All writes are accumulated and applied after every class has read the
+    pre-tick world — matching the reference's intent that ticks read
+    last-frame state (stale-read pipeline, SURVEY.md §1).
+    """
+    writes: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+    despawn_mask_total = None
+
+    for klass, start, count in type_ranges:
+        tick = getattr(klass, "tick", None)
+        if tick is None or count == 0:
+            continue
+        tick_fn = tick.__func__ if isinstance(tick, (staticmethod, classmethod)) else tick
+
+        idx = jnp.arange(start, start + count, dtype=jnp.int32)
+        ids = nbr.ids[start : start + count]
+        d2 = nbr.d2[start : start + count]
+        cnt = nbr.count[start : start + count]
+
+        def one(i, ids_row, d2_row, cnt_i):
+            ctx = TickCtx(i, world, ids_row, d2_row, cnt_i, inputs,
+                          jnp.float32(cfg.dt_ratio), cfg)
+            out = tick_fn(ctx)
+            return out if out is not None else {}
+
+        outs = jax.vmap(one)(idx, ids, d2, cnt)  # dict of [count] arrays
+        active_slice = jax.lax.dynamic_slice_in_dim(
+            world.transform.active, start, count, 0
+        )
+
+        # contiguous range writes lower to dynamic_update_slice, not scatter
+        for path, value in outs.items():
+            if path == "despawn":
+                dm = jnp.zeros_like(world.transform.active)
+                dm = dm.at[start : start + count].set(value & active_slice)
+                despawn_mask_total = dm if despawn_mask_total is None else (despawn_mask_total | dm)
+                continue
+            arr = read_field(world, path)
+            value = jnp.asarray(value, arr.dtype)
+            mask, vals = writes.get(path, (None, None))
+            if mask is None:
+                mask = jnp.zeros(arr.shape[0], jnp.bool_)
+                vals = jnp.zeros_like(arr)
+            mask = mask.at[start : start + count].set(active_slice)
+            vals = vals.at[start : start + count].set(
+                jnp.where(active_slice, value, vals[start : start + count])
+            )
+            writes[path] = (mask, vals)
+
+    for path, (mask, vals) in writes.items():
+        arr = read_field(world, path)
+        world = write_field(world, path, jnp.where(mask, vals, arr))
+
+    if despawn_mask_total is not None:
+        world = apply_despawn_mask(world, despawn_mask_total)
+    return world
+
+
+def apply_despawn_mask(world: World, mask: jnp.ndarray) -> World:
+    """In-step despawn: clear every per-component active flag
+    (gameObject.js:668-691 clears Transform + per-component active). The host
+    reconciles free lists from the step's despawn events."""
+    t = world.transform
+    off = lambda a: jnp.where(mask, False, a)
+    return world.replace(
+        transform=t.replace(active=off(t.active)),
+        rigid_body=world.rigid_body.replace(active=off(world.rigid_body.active)),
+        collider=world.collider.replace(active=off(world.collider.active)),
+        sprite=world.sprite.replace(active=off(world.sprite.active)),
+        light=world.light.replace(active=off(world.light.active)),
+        shadow=world.shadow.replace(active=off(world.shadow.active)),
+    )

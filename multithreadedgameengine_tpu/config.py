@@ -1,0 +1,216 @@
+"""Engine configuration.
+
+One frozen, hashable config tree mirroring the reference engine's nested config
+sections and defaults (reference: src/core/gameEngine.js:34-62 for physics
+defaults, :99-104 for particles, :145-180 for lighting/decals;
+src/core/utils.js:269-301 `validatePhysicsConfig` for clamping semantics).
+
+Being frozen dataclasses of hashable leaves, any config can be passed as a jit
+static argument; the whole tree is resolved once at `Engine` construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+def _clamp01(v: float) -> float:
+    return max(0.0, min(1.0, float(v)))
+
+
+@dataclass(frozen=True)
+class SpatialConfig:
+    """Spatial hash grid parameters (reference: src/workers/spatial_worker.js:78-100).
+
+    - ``cell_size``: world units per grid cell.
+    - ``max_neighbors``: fixed neighbor-list degree K — the hard cap of the
+      reference's ``[count, ids...]`` stride format (gameEngine.js:553-559).
+    - ``cell_capacity``: TPU-only parameter: max entities binned per cell in the
+      sort-and-scatter grid table (the reference uses growable JS arrays per
+      cell; a static-shape device kernel needs a cap).
+    - ``max_cell_radius``: static bound on the per-entity cell scan radius
+      (``ceil(visual_range / cell_size)`` in the reference,
+      spatial_worker.js:211). Entities whose visual range implies a larger
+      radius still get *distance-correct* neighbors only within this many
+      cells. Resolved at engine init from registered classes when 0.
+    """
+
+    cell_size: float = 80.0
+    max_neighbors: int = 100
+    cell_capacity: int = 64
+    max_cell_radius: int = 0  # 0 = resolve from max visual_range at first step
+    # 'grid' (sort-and-bin hash grid) or 'bruteforce' (O(N^2), for tests/small N)
+    method: str = "grid"
+
+
+@dataclass(frozen=True)
+class PhysicsConfig:
+    """Verlet physics parameters (reference: src/workers/physics_worker.js:33-40
+    defaults; src/core/utils.js:269-301 validation/clamping)."""
+
+    sub_step_count: int = 4
+    boundary_elasticity: float = 0.8
+    collision_response_strength: float = 0.5
+    verlet_damping: float = 0.995
+    min_speed_for_rotation: float = 0.1
+    gravity: Tuple[float, float] = (0.0, 0.0)
+    max_collision_pairs: int = 10000
+
+    def validated(self) -> "PhysicsConfig":
+        """Mirror of validatePhysicsConfig (utils.js:269-301)."""
+        return dataclasses.replace(
+            self,
+            sub_step_count=max(1, int(self.sub_step_count)),
+            boundary_elasticity=_clamp01(self.boundary_elasticity),
+            collision_response_strength=_clamp01(self.collision_response_strength),
+            verlet_damping=_clamp01(self.verlet_damping),
+        )
+
+
+@dataclass(frozen=True)
+class LogicConfig:
+    """Logic-scheduling section. The reference's worker-count / job-size knobs
+    (gameEngine.js:62, :744-761) have no meaning for an SPMD device program —
+    they are kept for config-surface parity and ignored by the TPU runtime
+    (documented no-ops), except ``collision_events`` which gates the
+    Enter/Stay/Exit pair-diff machinery (logic_worker.js:417-526)."""
+
+    number_of_logic_workers: int = 1
+    number_of_entities_per_job: int = 250
+    use_main_thread_as_logic_worker: bool = False
+    main_thread_max_jobs_per_frame: int = 0
+    collision_events: bool = False
+    screen_events: bool = False
+
+
+@dataclass(frozen=True)
+class ParticleConfig:
+    """Particle pool + decal tilemap section (gameEngine.js:99, :174-180)."""
+
+    max_particles: int = 0
+    decals: bool = False
+    decals_tile_size: int = 256
+    decals_resolution: float = 1.0
+
+
+@dataclass(frozen=True)
+class LightingConfig:
+    """Lighting/shadow section (gameEngine.js:145-151, pixi_worker.js:2274-2283)."""
+
+    enabled: bool = False
+    lighting_ambient: float = 0.05
+    max_lights: int = 128
+    shadows_enabled: bool = True
+    max_shadow_casting_lights: int = 20
+    max_shadows_per_light: int = 15
+    entity_lighting: bool = False
+
+
+@dataclass(frozen=True)
+class RendererConfig:
+    """Renderer section (pixi_worker.js:2107-2127). The TPU build extracts
+    render state on-device; these knobs shape the extraction."""
+
+    bg: int = 0x000000
+    y_sorting: bool = True
+    # margin fraction for offscreen culling (particle_worker.js:1030: 15%)
+    cull_margin: float = 0.15
+
+
+@dataclass(frozen=True)
+class ShardingConfig:
+    """Multi-device layout. Not part of the reference config surface (the
+    reference's analog is its worker counts); controls the pjit/shard_map mesh."""
+
+    # number of devices along the entity/data axis; 0 = all available
+    data: int = 0
+    axis_name: str = "entities"
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Top-level config, one-to-one with the object handed to
+    ``new GameEngine(config)`` (gameEngine.js:21-62)."""
+
+    world_width: float = 800.0
+    world_height: float = 600.0
+    canvas_width: int = 800
+    canvas_height: int = 600
+    seed: int = 0
+    # fixed timestep ratio relative to a 60 FPS frame (the reference's dtRatio,
+    # AbstractWorker.js frame loop). Deterministic sims should keep 1.0.
+    dt_ratio: float = 1.0
+    spatial: SpatialConfig = field(default_factory=SpatialConfig)
+    physics: PhysicsConfig = field(default_factory=PhysicsConfig)
+    logic: LogicConfig = field(default_factory=LogicConfig)
+    particle: ParticleConfig = field(default_factory=ParticleConfig)
+    lighting: LightingConfig = field(default_factory=LightingConfig)
+    renderer: RendererConfig = field(default_factory=RendererConfig)
+    sharding: ShardingConfig = field(default_factory=ShardingConfig)
+
+    def validated(self) -> "EngineConfig":
+        return dataclasses.replace(self, physics=self.physics.validated())
+
+    # --- derived grid geometry (spatial_worker.js:80-86) ---
+    @property
+    def grid_cols(self) -> int:
+        import math
+
+        return max(1, math.ceil(self.world_width / self.spatial.cell_size))
+
+    @property
+    def grid_rows(self) -> int:
+        import math
+
+        return max(1, math.ceil(self.world_height / self.spatial.cell_size))
+
+    @property
+    def total_cells(self) -> int:
+        return self.grid_cols * self.grid_rows
+
+
+def make_config(**kwargs) -> EngineConfig:
+    """Ergonomic constructor accepting nested dicts, mirroring the reference's
+    plain-object config: ``make_config(world_width=9000, physics=dict(gravity=(0, .5)))``.
+    """
+
+    def build(cls, value):
+        if isinstance(value, cls):
+            return value
+        if isinstance(value, dict):
+            fields = {f.name: f for f in dataclasses.fields(cls)}
+            out = {}
+            for k, v in value.items():
+                if k not in fields:
+                    raise KeyError(f"unknown {cls.__name__} key: {k}")
+                sub = _SECTION_TYPES.get(k)
+                if sub is not None:
+                    out[k] = build(sub, v)
+                elif k == "gravity":
+                    out[k] = tuple(float(g) for g in v)
+                else:
+                    out[k] = v
+            return cls(**out)
+        raise TypeError(f"cannot build {cls.__name__} from {type(value)}")
+
+    top = {}
+    for k, v in kwargs.items():
+        sub = _SECTION_TYPES.get(k)
+        if sub is not None:
+            top[k] = build(sub, v)
+        else:
+            top[k] = v
+    return EngineConfig(**top).validated()
+
+
+_SECTION_TYPES = {
+    "spatial": SpatialConfig,
+    "physics": PhysicsConfig,
+    "logic": LogicConfig,
+    "particle": ParticleConfig,
+    "lighting": LightingConfig,
+    "renderer": RendererConfig,
+    "sharding": ShardingConfig,
+}

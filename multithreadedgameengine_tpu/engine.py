@@ -1,0 +1,532 @@
+"""The Engine — host orchestrator and Scene API.
+
+The analog of ``GameEngine`` (src/core/gameEngine.js): entity-class
+registration with auto entityType ids and parent-chain registration
+(:292-366, :389-457), world allocation (createSharedBuffers, :534-777),
+spawn/despawn control plane (:1651-1695), pause/resume (:1585-1639), live
+physics config updates (:76-85, :1304-1325), pool stats (:1704) — re-expressed
+around ONE jitted device step instead of six free-running workers.
+
+Steady-state loop:
+    host: flush queued spawn/despawn scatters → snapshot inputs
+    device (jit, donated): write inputs → neighbor lists → logic ticks →
+                           Verlet physics → metrics
+    host: optional collision-event dispatch (Enter/Stay/Exit set-diff,
+          logic_worker.js:417-526 — here a numpy diff over the compact pair
+          table the physics op records)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from collections import OrderedDict
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .behavior import (
+    BUILTIN_PATHS,
+    EntityClass,
+    FIELD_ALIASES,
+    SetupCtx,
+    SpawnCtx,
+    read_field,
+    resolve_field,
+    run_logic_phase,
+    snake_case,
+    write_field,
+)
+from .components import (
+    Collider,
+    MouseComponent,
+    SpriteRenderer,
+    Transform,
+)
+from .config import EngineConfig, make_config
+from .inputs import InputController, InputState
+from .ops.physics import physics_step
+from .ops.spatial import neighbor_lists
+from .rng import Mulberry32
+from .state import EntityPool, World, make_world
+
+
+class Mouse(EntityClass):
+    """Mouse as entity index 0 (src/core/Mouse.js): a radius-0 trigger collider
+    with visualRange 150 so the spatial grid tracks it (:139-145)."""
+
+    components = [Collider, MouseComponent]
+
+    @classmethod
+    def setup(cls, ctx):
+        return {
+            "collider.radius": 0.0,
+            "collider.is_trigger": True,
+            "collider.visual_range": 150.0,
+        }
+
+
+@dataclasses.dataclass
+class RegisteredClass:
+    cls: type
+    entity_type: int
+    start_index: int
+    count: int
+    pool: EntityPool
+    component_paths: List[str]
+
+
+class Engine:
+    """``new GameEngine(config)`` analog. Usage::
+
+        eng = Engine(world_width=9000, world_height=4000, seed=42,
+                     physics=dict(gravity=(0, 0.5), sub_step_count=2),
+                     spatial=dict(cell_size=50, max_neighbors=900))
+        eng.register_entity_class(Ball, 10_000)
+        eng.init()
+        for i in range(10_000):
+            eng.spawn("Ball", x=..., y=...)
+        eng.step(60)
+    """
+
+    def __init__(self, config: Optional[EngineConfig] = None, **kwargs):
+        if config is None:
+            config = make_config(**kwargs)
+        elif kwargs:
+            raise TypeError("pass either a config object or kwargs, not both")
+        self.config = config.validated()
+        self.rng = Mulberry32(self.config.seed)
+        self.input = InputController()
+        # center camera on world (gameEngine.js camera init)
+        self.input.camera_x = self.config.world_width / 2
+        self.input.camera_y = self.config.world_height / 2
+
+        self.classes: "OrderedDict[str, RegisteredClass]" = OrderedDict()
+        self._next_type = 0
+        self._next_index = 0
+        self._custom_components: Dict[str, Any] = {}
+        self.world: Optional[World] = None
+        self.paused = False
+        self._initialized = False
+        self._step_fn = None
+        self._step_n_fn = None
+        self._pending_ops: List[Tuple[str, Any]] = []
+        self._resolved_cell_radius: Optional[int] = None
+        # collision-event state: previous frame's pair-key set
+        self._prev_pairs: np.ndarray = np.empty((0,), np.int64)
+        self.metrics: Dict[str, Any] = {}
+
+        # Mouse auto-registered first so entity index 0 is the mouse
+        # (gameEngine.js:278-281, :536-542)
+        self.register_entity_class(Mouse, 1)
+
+    # ------------------------------------------------------------------
+    # registration (gameEngine.js:292-366, :389-457)
+    # ------------------------------------------------------------------
+    def register_entity_class(self, cls: type, count: int) -> None:
+        if self._initialized:
+            raise RuntimeError("register_entity_class must precede init()")
+        if not issubclass(cls, EntityClass):
+            raise TypeError(f"{cls.__name__} must subclass EntityClass")
+        # parent-chain auto-registration with count 0 (gameEngine.js:389-457)
+        for parent in cls.__mro__[1:]:
+            if parent is EntityClass or not issubclass(parent, EntityClass):
+                break
+            if parent.__name__ not in self.classes:
+                self._register_one(parent, 0)
+        if cls.__name__ in self.classes:
+            reg = self.classes[cls.__name__]
+            if reg.count == 0 and count > 0:
+                # was auto-registered as a parent; give it its real range
+                self._grow_registration(reg, count)
+                return
+            raise ValueError(f"{cls.__name__} already registered")
+        self._register_one(cls, count)
+
+    def _register_one(self, cls: type, count: int) -> None:
+        paths = []
+        for comp in cls.collect_components():
+            if comp in BUILTIN_PATHS:
+                paths.append(BUILTIN_PATHS[comp])
+            else:
+                name = snake_case(comp.__name__)
+                existing = self._custom_components.get(name)
+                if existing is not None and existing is not comp:
+                    raise ValueError(f"conflicting custom component name {name!r}")
+                self._custom_components[name] = comp
+                paths.append(name)
+        reg = RegisteredClass(
+            cls=cls,
+            entity_type=self._next_type,
+            start_index=self._next_index,
+            count=count,
+            pool=EntityPool(self._next_index, count),
+            component_paths=paths,
+        )
+        cls.entity_type = reg.entity_type
+        cls.start_index = reg.start_index
+        cls.count = count
+        self.classes[cls.__name__] = reg
+        self._next_type += 1
+        self._next_index += count
+
+    def _grow_registration(self, reg: RegisteredClass, count: int) -> None:
+        reg.start_index = self._next_index
+        reg.count = count
+        reg.pool = EntityPool(self._next_index, count)
+        reg.cls.start_index = reg.start_index
+        reg.cls.count = count
+        self._next_index += count
+
+    @property
+    def entity_count(self) -> int:
+        return self._next_index
+
+    # ------------------------------------------------------------------
+    # init (gameEngine.js:460-499 — allocation + setup, no worker barrier)
+    # ------------------------------------------------------------------
+    def init(self) -> None:
+        if self._initialized:
+            raise RuntimeError("already initialized")
+        n = max(1, self.entity_count)
+        self.world = make_world(
+            n_entities=n,
+            max_particles=self.config.particle.max_particles,
+            max_collision_pairs=self.config.physics.max_collision_pairs,
+            custom_components=self._custom_components,
+            seed=self.config.seed,
+        )
+        # pre-initialize entityType for every slot, active or not
+        # (preInitializeEntityTypeArrays, gameEngine.js:778-791)
+        et = np.zeros((n,), np.int32)
+        for reg in self.classes.values():
+            et[reg.start_index : reg.start_index + reg.count] = reg.entity_type
+        self.world = self.world.replace(
+            transform=self.world.transform.replace(entity_type=jnp.asarray(et))
+        )
+        # run setup() once per class range (gameObject setup lifecycle)
+        for reg in self.classes.values():
+            if reg.count == 0:
+                continue
+            ctx = SetupCtx(self.config, reg.start_index, reg.count, self.rng)
+            updates = reg.cls.setup(ctx) or {}
+            for path, value in updates.items():
+                arr = read_field(self.world, path)
+                sl = slice(reg.start_index, reg.start_index + reg.count)
+                value = jnp.broadcast_to(
+                    jnp.asarray(value, arr.dtype), (reg.count,)
+                )
+                self.world = write_field(self.world, path, arr.at[sl].set(value))
+        self._initialized = True
+        # spawn the mouse (startAllWorkers, gameEngine.js:1298)
+        self.spawn("Mouse")
+
+    # ------------------------------------------------------------------
+    # spawn / despawn control plane
+    # ------------------------------------------------------------------
+    #: component-reset values applied on every spawn (gameObject.js:879-925),
+    #: keyed by component path. Only applied when the class has the component.
+    _SPAWN_RESETS: Dict[str, Dict[str, Any]] = {
+        "rigid_body": dict(
+            active=True, ax=0.0, ay=0.0, vx=0.0, vy=0.0,
+            speed=0.0, velocity_angle=0.0, px=0.0, py=0.0,
+        ),
+        "transform": dict(x=0.0, y=0.0, rotation=0.0),
+        "collider": dict(active=True),
+        "light": dict(active=True),
+        "shadow": dict(active=True),
+        "sprite": dict(
+            active=True, tint=0xFFFFFF, base_tint=0xFFFFFF, alpha=1.0,
+            scale_x=1.0, scale_y=1.0, anchor_x=0.5, anchor_y=1.0,
+            render_visible=True, is_on_screen=True, render_dirty=True,
+        ),
+    }
+
+    def spawn(self, class_name: str, **spawn_config) -> Optional[int]:
+        """GameObject.spawn (gameObject.js:840-951): pop free list, reset
+        component slots, apply spawn config, sync Verlet px/py, run
+        on_spawned, THEN set active. Returns the entity index, or None when
+        the pool is exhausted."""
+        self._require_init()
+        reg = self.classes[class_name]
+        i = reg.pool.claim()
+        if i is None:
+            return None
+
+        updates: Dict[str, Any] = {}
+        for comp_path in reg.component_paths:
+            for field, value in self._SPAWN_RESETS.get(comp_path, {}).items():
+                updates[f"{comp_path}.{field}"] = value
+
+        for key, value in spawn_config.items():
+            path = FIELD_ALIASES.get(key, key)
+            if "." not in path:
+                raise KeyError(f"unknown spawn property {key!r}")
+            updates[path] = value
+
+        ctx = SpawnCtx(self.config, i, self.rng)
+        extra = reg.cls.on_spawned(ctx, dict(spawn_config)) or {}
+        for key, value in extra.items():
+            updates[FIELD_ALIASES.get(key, key)] = value
+
+        # Verlet previous-position sync: px = x - vx (gameObject.js:938-940;
+        # the ergonomic accessors keep this in sync through later writes,
+        # which nets out to final_x - final_vx)
+        if "rigid_body" in reg.component_paths:
+            x = float(updates.get("transform.x", 0.0))
+            y = float(updates.get("transform.y", 0.0))
+            vx = float(updates.get("rigid_body.vx", 0.0))
+            vy = float(updates.get("rigid_body.vy", 0.0))
+            updates["rigid_body.px"] = x - vx
+            updates["rigid_body.py"] = y - vy
+
+        updates["transform.active"] = True
+        self._pending_ops.append(("spawn", i, updates))
+        return i
+
+    def despawn(self, index: int) -> None:
+        """Despawn by index (gameObject.js:668-691)."""
+        self._require_init()
+        reg = self._class_of_index(index)
+        reg.pool.release(index)
+        reg.cls.on_despawned(index)
+        self._pending_ops.append(("despawn", index, None))
+
+    def despawn_all(self, class_name: Optional[str] = None) -> None:
+        """despawnAllEntities (gameEngine.js:1677, logic_worker.js:654-711).
+        The mouse (index 0) is never despawned."""
+        self._require_init()
+        regs = (
+            [self.classes[class_name]] if class_name else list(self.classes.values())
+        )
+        active = np.asarray(jax.device_get(self.world.transform.active))
+        # include not-yet-flushed spawns
+        pend_active = {}
+        for op, idx, _ in self._pending_ops:
+            pend_active[idx] = op == "spawn"
+        for reg in regs:
+            if reg.cls is Mouse:
+                continue
+            for i in range(reg.start_index, reg.start_index + reg.count):
+                is_active = pend_active.get(i, bool(active[i]))
+                if is_active:
+                    self.despawn(i)
+
+    def _class_of_index(self, index: int) -> RegisteredClass:
+        for reg in self.classes.values():
+            if reg.start_index <= index < reg.start_index + reg.count:
+                return reg
+        raise IndexError(index)
+
+    def get_pool_stats(self, class_name: str) -> Dict[str, int]:
+        """getPoolStats (gameObject.js:957-999)."""
+        reg = self.classes[class_name]
+        return {
+            "total": reg.count,
+            "active": reg.pool.active_count,
+            "available": reg.pool.free_count,
+        }
+
+    def _flush_pending(self) -> None:
+        if not self._pending_ops:
+            return
+        by_path: Dict[str, Tuple[List[int], List[Any]]] = {}
+        for op, idx, updates in self._pending_ops:
+            if op == "despawn":
+                reg = self._class_of_index(idx)
+                updates = {"transform.active": False}
+                for comp_path in reg.component_paths:
+                    comp = (
+                        getattr(self.world, comp_path)
+                        if hasattr(self.world, comp_path)
+                        else self.world.custom[comp_path]
+                    )
+                    if hasattr(comp, "active"):
+                        updates[f"{comp_path}.active"] = False
+            for path, value in updates.items():
+                idxs, vals = by_path.setdefault(path, ([], []))
+                idxs.append(idx)
+                vals.append(value)
+        self._pending_ops.clear()
+        world = self.world
+        for path, (idxs, vals) in by_path.items():
+            arr = read_field(world, path)
+            np_vals = np.asarray(vals)
+            if np_vals.dtype == object:
+                np_vals = np_vals.astype(np.float64)
+            new = arr.at[np.asarray(idxs, np.int32)].set(
+                jnp.asarray(np_vals, arr.dtype)
+            )
+            world = write_field(world, path, new)
+        self.world = world
+
+    # ------------------------------------------------------------------
+    # the step
+    # ------------------------------------------------------------------
+    def _resolve_spatial(self) -> EngineConfig:
+        cfg = self.config
+        if cfg.spatial.max_cell_radius > 0:
+            return cfg
+        # auto-resolve the static cell-scan radius from the registered
+        # classes' visual ranges — excluding the mouse (its 150-unit range,
+        # Mouse.js:139-145, is only consumed by the debug overlay; letting it
+        # widen every entity's candidate scan would inflate the whole frame)
+        vranges = read_field(self.world, "collider.visual_range")
+        vr = float(jnp.max(vranges[1:])) if self.entity_count > 1 else 0.0
+        radius = max(1, math.ceil(vr / cfg.spatial.cell_size)) if vr > 0 else 1
+        cfg = dataclasses.replace(
+            cfg, spatial=dataclasses.replace(cfg.spatial, max_cell_radius=radius)
+        )
+        self.config = cfg
+        return cfg
+
+    def _build_step(self):
+        cfg = self._resolve_spatial()
+        type_ranges = tuple(
+            (reg.cls, reg.start_index, reg.count)
+            for reg in self.classes.values()
+            if reg.count > 0
+        )
+
+        def write_inputs(world: World, inputs: InputState) -> World:
+            # Mouse statics → Transform[0] / MouseComponent[0] (Mouse.js:30-104)
+            t = world.transform
+            m = world.mouse
+            return world.replace(
+                transform=t.replace(
+                    x=t.x.at[0].set(inputs.mouse_x),
+                    y=t.y.at[0].set(inputs.mouse_y),
+                ),
+                mouse=m.replace(
+                    button0_down=m.button0_down.at[0].set(inputs.mouse_buttons[0]),
+                    button1_down=m.button1_down.at[0].set(inputs.mouse_buttons[1]),
+                    button2_down=m.button2_down.at[0].set(inputs.mouse_buttons[2]),
+                    is_present=m.is_present.at[0].set(inputs.mouse_present),
+                ),
+            )
+
+        def one_step(world: World, inputs: InputState):
+            world = write_inputs(world, inputs)
+            t, c = world.transform, world.collider
+            nbr = neighbor_lists(t.x, t.y, t.active, c.visual_range, cfg)
+            world = run_logic_phase(world, nbr, inputs, cfg, type_ranges)
+            world = physics_step(world, nbr, cfg, cfg.dt_ratio)
+            world = world.replace(step_count=world.step_count + 1)
+            metrics = {
+                "active_count": jnp.sum(world.transform.active, dtype=jnp.int32),
+                "collision_pair_count": world.collision_pair_count,
+                "n_binned": nbr.n_binned,
+            }
+            return world, metrics
+
+        def n_steps(world: World, inputs: InputState, n: jnp.ndarray):
+            zero_metrics = {
+                "active_count": jnp.int32(0),
+                "collision_pair_count": jnp.int32(0),
+                "n_binned": jnp.int32(0),
+            }
+
+            def body(_i, carry):
+                w, _m = carry
+                return one_step(w, inputs)
+
+            return jax.lax.fori_loop(0, n, body, (world, zero_metrics))
+
+        self._one_step_raw = one_step
+        self._step_fn = jax.jit(one_step, donate_argnums=0)
+        self._step_n_fn = jax.jit(n_steps, donate_argnums=0)
+
+    def raw_step_fn(self):
+        """The unjitted (world, inputs) -> (world, metrics) step, for harnesses
+        that jit with their own shardings/donation (bench, multi-chip dryrun)."""
+        self._require_init()
+        if self._step_fn is None:
+            self._build_step()
+        return self._one_step_raw
+
+    def step(self, n: int = 1, block: bool = False) -> Dict[str, Any]:
+        """Advance the simulation ``n`` frames. Queued spawns/despawns flush
+        first (the control plane runs between steps, like the reference's
+        postMessage handling between frames)."""
+        self._require_init()
+        if self.paused or n <= 0:
+            return self.metrics
+        if self._step_fn is None:
+            self._build_step()
+        self._flush_pending()
+        inputs = self.input.snapshot()
+        if n == 1:
+            self.world, metrics = self._step_fn(self.world, inputs)
+        else:
+            self.world, metrics = self._step_n_fn(
+                self.world, inputs, jnp.int32(n)
+            )
+        self.metrics = metrics
+        if self.config.logic.collision_events:
+            self._dispatch_collision_events()
+        if block:
+            jax.block_until_ready(self.world)
+        return self.metrics
+
+    # ------------------------------------------------------------------
+    # collision Enter/Stay/Exit dispatch (logic_worker.js:417-526)
+    # ------------------------------------------------------------------
+    def _dispatch_collision_events(self) -> None:
+        count = int(jax.device_get(self.world.collision_pair_count))
+        pairs = np.asarray(
+            jax.device_get(self.world.collision_pairs[:count])
+        ).astype(np.int64)
+        n = self.world.n_entities
+        cur = np.sort(pairs[:, 0] * n + pairs[:, 1]) if count else np.empty(
+            (0,), np.int64
+        )
+        prev = self._prev_pairs
+        enters = np.setdiff1d(cur, prev, assume_unique=True)
+        stays = np.intersect1d(cur, prev, assume_unique=True)
+        exits = np.setdiff1d(prev, cur, assume_unique=True)
+        self._prev_pairs = cur
+
+        def fire(keys: np.ndarray, hook_name: str) -> None:
+            for key in keys:
+                a, b = int(key // n), int(key % n)
+                for me, other in ((a, b), (b, a)):
+                    reg = self._class_of_index(me)
+                    hook = getattr(reg.cls, hook_name, None)
+                    if hook is not None:
+                        hook(me, other)
+
+        fire(enters, "on_collision_enter")
+        fire(stays, "on_collision_stay")
+        fire(exits, "on_collision_exit")
+
+    # ------------------------------------------------------------------
+    # pause / resume / live config (gameEngine.js:1585-1639, :1304-1325)
+    # ------------------------------------------------------------------
+    def pause(self) -> None:
+        self.paused = True
+
+    def resume(self) -> None:
+        self.paused = False
+
+    def update_physics_config(self, **kwargs) -> None:
+        """Live physics updates: ``engine.update_physics_config(gravity=(0, 1))``
+        — the physics Proxy analog. Triggers a re-jit (config is static)."""
+        phys = dataclasses.replace(self.config.physics, **kwargs).validated()
+        self.config = dataclasses.replace(self.config, physics=phys)
+        self._step_fn = None  # rebuild on next step
+
+    # ------------------------------------------------------------------
+    # snapshot / restore (SURVEY.md §5.4 — free because state is one pytree)
+    # ------------------------------------------------------------------
+    def snapshot(self):
+        jax.block_until_ready(self.world)
+        return jax.device_get(self.world)
+
+    def restore(self, snap) -> None:
+        self.world = jax.device_put(snap)
+
+    def _require_init(self) -> None:
+        if not self._initialized:
+            raise RuntimeError("call init() first")

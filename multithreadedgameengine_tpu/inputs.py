@@ -1,0 +1,129 @@
+"""Host→device input plane: mouse, keyboard, camera.
+
+Replaces the reference's inputData / cameraData SABs and the Mouse-as-entity-0
+convention (gameEngine.js:212-267 keyboard map → Int32 input buffer;
+src/core/Mouse.js:30-104 mouse statics writing Transform[0]/MouseComponent[0];
+cameraData 3 floats gameEngine.js:724-738). The whole input state is one small
+pytree passed into the jitted step each frame.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+# Keyboard map — the reference builds ~73 key → index entries
+# (gameEngine.js:212-267). Index space kept stable for SAB-format parity.
+_KEY_NAMES = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [str(d) for d in range(10)]
+    + [
+        "space", "enter", "escape", "tab", "backspace", "delete",
+        "shift", "control", "alt", "meta",
+        "arrowup", "arrowdown", "arrowleft", "arrowright",
+        "home", "end", "pageup", "pagedown", "insert", "capslock",
+    ]
+    + [f"f{i}" for i in range(1, 13)]
+    + ["minus", "equal", "bracketleft", "bracketright", "backslash",
+       "semicolon", "quote", "comma", "period", "slash", "backquote"]
+)
+KEY_INDEX: Dict[str, int] = {name: i for i, name in enumerate(_KEY_NAMES)}
+NUM_KEYS = 128  # padded, matches the reference's generously sized input SAB
+
+# Aliases accepted by Keyboard proxy access (Keyboard.js:218-248)
+KEY_ALIASES = {
+    "up": "arrowup", "down": "arrowdown", "left": "arrowleft",
+    "right": "arrowright", "ctrl": "control", "esc": "escape",
+    " ": "space",
+}
+
+
+@struct.dataclass
+class InputState:
+    """Per-frame input snapshot (device pytree)."""
+
+    mouse_x: jnp.ndarray  # f32 scalar, world coords
+    mouse_y: jnp.ndarray
+    mouse_buttons: jnp.ndarray  # bool[3]
+    mouse_present: jnp.ndarray  # bool scalar
+    keys: jnp.ndarray  # bool[NUM_KEYS]
+    camera_x: jnp.ndarray  # f32 scalar
+    camera_y: jnp.ndarray
+    camera_zoom: jnp.ndarray
+
+    @staticmethod
+    def default() -> "InputState":
+        return InputState(
+            mouse_x=jnp.float32(0.0),
+            mouse_y=jnp.float32(0.0),
+            mouse_buttons=jnp.zeros((3,), jnp.bool_),
+            mouse_present=jnp.asarray(False),
+            keys=jnp.zeros((NUM_KEYS,), jnp.bool_),
+            camera_x=jnp.float32(0.0),
+            camera_y=jnp.float32(0.0),
+            camera_zoom=jnp.float32(1.0),
+        )
+
+
+class InputController:
+    """Host-side mutable input front-end; ``snapshot()`` produces the pytree
+    handed to the step. The analog of the main thread's event listeners
+    (gameEngine.js:1384-1500)."""
+
+    def __init__(self):
+        self.mouse_x = 0.0
+        self.mouse_y = 0.0
+        self.mouse_buttons = [False, False, False]
+        self.mouse_present = False
+        self._keys = np.zeros((NUM_KEYS,), dtype=bool)
+        self.camera_x = 0.0
+        self.camera_y = 0.0
+        self.camera_zoom = 1.0
+
+    # -- keyboard (Keyboard.isDown, Keyboard.js:197-248) --
+    def _key_idx(self, name: str) -> int:
+        name = name.lower()
+        name = KEY_ALIASES.get(name, name)
+        if name not in KEY_INDEX:
+            raise KeyError(f"unknown key {name!r}")
+        return KEY_INDEX[name]
+
+    def key_down(self, name: str) -> None:
+        self._keys[self._key_idx(name)] = True
+
+    def key_up(self, name: str) -> None:
+        self._keys[self._key_idx(name)] = False
+
+    def is_down(self, name: str) -> bool:
+        return bool(self._keys[self._key_idx(name)])
+
+    # -- mouse --
+    def set_mouse(self, x: float, y: float, present: bool = True) -> None:
+        self.mouse_x, self.mouse_y, self.mouse_present = float(x), float(y), present
+
+    def mouse_button(self, button: int, down: bool) -> None:
+        self.mouse_buttons[button] = bool(down)
+
+    @property
+    def mouse_is_down(self) -> bool:
+        return self.mouse_buttons[0]
+
+    def snapshot(self) -> InputState:
+        return InputState(
+            mouse_x=jnp.float32(self.mouse_x),
+            mouse_y=jnp.float32(self.mouse_y),
+            mouse_buttons=jnp.asarray(self.mouse_buttons, jnp.bool_),
+            mouse_present=jnp.asarray(self.mouse_present),
+            keys=jnp.asarray(self._keys),
+            camera_x=jnp.float32(self.camera_x),
+            camera_y=jnp.float32(self.camera_y),
+            camera_zoom=jnp.float32(self.camera_zoom),
+        )
+
+
+def key_index(name: str) -> int:
+    name = name.lower()
+    return KEY_INDEX[KEY_ALIASES.get(name, name)]

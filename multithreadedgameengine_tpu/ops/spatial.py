@@ -1,0 +1,201 @@
+"""Spatial hash grid → fixed-degree neighbor lists, TPU-native.
+
+Replaces the reference's spatial worker (src/workers/spatial_worker.js:122-278):
+an ``Array<Array<int>>`` uniform hash grid rebuilt every frame plus a per-entity
+box scan writing ``[count, ids...]`` / ``[count, d²...]`` stride buffers.
+
+TPU design (static shapes, one fused program — no per-cell JS arrays):
+
+1. cell id per entity (clamped truncation, spatial_worker.js:157-161), with the
+   reference's NaN guard (:152-153) folded in as an "invalid" sentinel;
+2. stable argsort by cell id — within a cell, candidates appear in ascending
+   entity order, matching the reference's insertion order (rebuildGrid loops
+   ``i`` over entities in order, :146-169);
+3. scatter the sorted order into a ``[total_cells+1, cell_capacity]`` table
+   (row ``total_cells`` is the all-empty sentinel for out-of-world candidate
+   cells; entities beyond ``cell_capacity`` in one cell are dropped — reported
+   in ``NeighborLists.n_binned`` for observability);
+4. gather the ``(2R+1)²`` cell neighborhood per entity (row-major, matching
+   the reference's checkRow-outer/checkCol-inner scan order, :234-271) and
+   apply the exact acceptance test ``0 < d² < visual_range²`` (:257);
+5. compact the first ``max_neighbors`` hits (in scan order — the reference
+   truncates in scan order too, :258-270) into ``[N, K]`` id/d² arrays.
+
+The O(N²) brute-force variant is the test oracle and the small-N fast path.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import EngineConfig
+
+
+@struct.dataclass
+class NeighborLists:
+    """Fixed-degree neighbor lists: the device analog of the neighborData /
+    distanceData SABs (gameEngine.js:553-559, stride ``1 + maxNeighbors``).
+
+    TPU layout note: slots are in *candidate-scan order with gaps* — invalid
+    slots hold id -1 — rather than the reference's compacted prefix. Compacting
+    would need a [N, K] scatter (serialized and slow on TPU); every consumer
+    masks on ``ids >= 0`` instead, which vectorizes for free. ``count`` still
+    reports the reference's neighborCount (capped at max_neighbors), and the
+    cap keeps the reference's scan-order truncation semantics
+    (spatial_worker.js:258-270)."""
+
+    ids: jnp.ndarray  # int32[N, S] slot table, -1 = empty slot
+    d2: jnp.ndarray  # f32[N, S], squared distances (0 in empty slots)
+    count: jnp.ndarray  # int32[N]
+    # diagnostics: how many active entities made it into the grid table
+    # (n_active - n_binned = cell-capacity overflow drops)
+    n_binned: jnp.ndarray  # int32 scalar
+
+
+def cell_coords(
+    x: jnp.ndarray, y: jnp.ndarray, cfg: EngineConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Clamped integer cell coordinates (spatial_worker.js:157-161)."""
+    inv = 1.0 / cfg.spatial.cell_size
+    col = jnp.clip((x * inv).astype(jnp.int32), 0, cfg.grid_cols - 1)
+    row = jnp.clip((y * inv).astype(jnp.int32), 0, cfg.grid_rows - 1)
+    return row, col
+
+
+def _cap_first_k(
+    cand: jnp.ndarray, d2: jnp.ndarray, valid: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Apply the max_neighbors cap in candidate-scan order without compaction:
+    mask out every valid candidate past the K-th (spatial_worker.js:258-270
+    truncates the same way). cand/d2/valid: [N, M]. Returns the slot-form
+    ids/d2 plus per-entity counts. Pure vector ops — no scatter."""
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)  # 1-based rank
+    keep = valid & (rank <= k)
+    ids = jnp.where(keep, cand, -1)
+    d2_out = jnp.where(keep, d2, 0.0)
+    count = jnp.minimum(jnp.sum(valid, axis=1, dtype=jnp.int32), k)
+    return ids, d2_out, count
+
+
+def neighbor_lists_grid(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    active: jnp.ndarray,
+    visual_range: jnp.ndarray,
+    cfg: EngineConfig,
+) -> NeighborLists:
+    """Hash-grid neighbor search (the sort-and-bin kernel)."""
+    n = x.shape[0]
+    sp = cfg.spatial
+    cells = cfg.total_cells
+    cols, rows_n = cfg.grid_cols, cfg.grid_rows
+    cap = sp.cell_capacity
+    radius = max(1, sp.max_cell_radius)
+
+    finite = jnp.isfinite(x) & jnp.isfinite(y)
+    valid_entity = active & finite  # NaN guard (spatial_worker.js:152-153)
+
+    row, col = cell_coords(x, y, cfg)
+    cell_id = jnp.where(valid_entity, row * cols + col, cells)
+
+    # --- bin: stable sort by cell, rank within cell, scatter into table ---
+    order = jnp.argsort(cell_id, stable=True).astype(jnp.int32)
+    sorted_cid = cell_id[order]
+    arange_n = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_cid[1:] != sorted_cid[:-1]]
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, arange_n, 0)
+    )
+    rank = arange_n - run_start
+
+    # table[cells] stays -1 (sentinel row for out-of-world candidate cells);
+    # invalid entities (cell_id == cells) are redirected out of bounds and
+    # dropped, as are per-cell overflow entities (rank >= cap).
+    table_rows = jnp.where(sorted_cid < cells, sorted_cid, cells + 1)
+    table_cols = jnp.where(rank < cap, rank, cap)
+    table = (
+        jnp.full((cells + 1, cap), -1, jnp.int32)
+        .at[table_rows, table_cols]
+        .set(order, mode="drop")
+    )
+    n_binned = jnp.sum(table >= 0, dtype=jnp.int32)
+
+    # --- candidate gather over the (2R+1)^2 neighborhood, row-major ---
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
+    off_r = jnp.repeat(offs, 2 * radius + 1)  # row-major: row outer
+    off_c = jnp.tile(offs, 2 * radius + 1)
+    cand_row = row[:, None] + off_r[None, :]  # [N, B]
+    cand_col = col[:, None] + off_c[None, :]
+    in_bounds = (
+        (cand_row >= 0) & (cand_row < rows_n) & (cand_col >= 0) & (cand_col < cols)
+    )
+    cand_cell = jnp.where(in_bounds, cand_row * cols + cand_col, cells)
+    cand = table[cand_cell].reshape(n, -1)  # [N, B*cap]
+
+    # --- exact distance test: 0 < d² < visual_range² (spatial_worker.js:257) ---
+    cand_safe = jnp.maximum(cand, 0)
+    dx = x[cand_safe] - x[:, None]
+    dy = y[cand_safe] - y[:, None]
+    d2 = dx * dx + dy * dy
+    vr2 = (visual_range * visual_range)[:, None]
+    valid = (
+        (cand >= 0)
+        & (cand != arange_n[:, None])
+        & (d2 < vr2)
+        & (d2 > 0)
+        & valid_entity[:, None]
+    )
+
+    ids, d2_out, count = _cap_first_k(cand, d2, valid, sp.max_neighbors)
+    return NeighborLists(ids=ids, d2=d2_out, count=count, n_binned=n_binned)
+
+
+def neighbor_lists_bruteforce(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    active: jnp.ndarray,
+    visual_range: jnp.ndarray,
+    cfg: EngineConfig,
+) -> NeighborLists:
+    """O(N²) oracle with identical acceptance semantics (candidate order is
+    ascending entity index rather than the grid's cell-scan order; the
+    *sets* agree whenever max_neighbors is not exceeded)."""
+    n = x.shape[0]
+    finite = jnp.isfinite(x) & jnp.isfinite(y)
+    valid_entity = active & finite
+    dx = x[None, :] - x[:, None]
+    dy = y[None, :] - y[:, None]
+    d2 = dx * dx + dy * dy
+    arange_n = jnp.arange(n, dtype=jnp.int32)
+    vr2 = (visual_range * visual_range)[:, None]
+    valid = (
+        valid_entity[:, None]
+        & valid_entity[None, :]
+        & (arange_n[:, None] != arange_n[None, :])
+        & (d2 < vr2)
+        & (d2 > 0)
+    )
+    cand = jnp.broadcast_to(arange_n[None, :], (n, n))
+    ids, d2_out, count = _cap_first_k(cand, d2, valid, cfg.spatial.max_neighbors)
+    return NeighborLists(
+        ids=ids, d2=d2_out, count=count,
+        n_binned=jnp.sum(valid_entity, dtype=jnp.int32),
+    )
+
+
+def neighbor_lists(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    active: jnp.ndarray,
+    visual_range: jnp.ndarray,
+    cfg: EngineConfig,
+) -> NeighborLists:
+    if cfg.spatial.method == "bruteforce":
+        return neighbor_lists_bruteforce(x, y, active, visual_range, cfg)
+    return neighbor_lists_grid(x, y, active, visual_range, cfg)

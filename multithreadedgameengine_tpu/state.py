@@ -1,0 +1,156 @@
+"""World state: the single device-resident pytree that replaces every
+SharedArrayBuffer of the reference (SURVEY.md §1 L0, §5.8).
+
+The reference allocates one SAB per component plus neighbor/collision/input/
+camera/sync buffers (gameEngine.js:534-777). Here the whole simulation state is
+one ``World`` pytree of dense ``[N]`` SoA arrays, donated through the jitted
+step so it stays resident in HBM; transient per-step products (neighbor lists)
+are internal to the step and never round-trip.
+
+Free-list pooling (gameObject.js:794-951) is split:
+ - the *authoritative* free lists live host-side in :class:`EntityPool`
+   (spawn/despawn are control-plane operations between steps, exactly like the
+   reference's postMessage spawn fan-out, gameEngine.js:1651-1670);
+ - world arrays are updated by jitted masked scatters (`apply_spawn_batch`).
+ - in-step despawns (e.g. prey death) only flip ``active`` masks on device;
+   the host reconciles the pool from the returned despawn events.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .components import (
+    Collider,
+    LightEmitter,
+    MouseComponent,
+    Particles,
+    RigidBody,
+    ShadowCaster,
+    SpriteRenderer,
+    Transform,
+)
+
+
+@struct.dataclass
+class World:
+    """All mutable simulation state. Everything is a dense array over the
+    entity axis except ``particles`` (its own pool) and scalars."""
+
+    transform: Transform
+    rigid_body: RigidBody
+    collider: Collider
+    sprite: SpriteRenderer
+    mouse: MouseComponent
+    light: LightEmitter
+    shadow: ShadowCaster
+    # user-defined components keyed by component name
+    custom: Dict[str, Any]
+    # separate particle pool (empty arrays when max_particles == 0)
+    particles: Particles
+    # device PRNG (for exact-overlap jitter, particle emission randomness)
+    key: jnp.ndarray
+    # frame counter (syncData[0] analog, gameEngine.js:718-738)
+    step_count: jnp.ndarray  # int32 scalar
+    # current-frame collision pair list [max_pairs, 2] + count
+    # (collisionData SAB analog: [count, a0,b0, a1,b1, ...], gameEngine.js:689-693)
+    collision_pairs: jnp.ndarray  # int32[max_pairs, 2], -1 padded
+    collision_pair_count: jnp.ndarray  # int32 scalar
+
+    @property
+    def n_entities(self) -> int:
+        return self.transform.x.shape[0]
+
+
+def make_world(
+    n_entities: int,
+    max_particles: int = 0,
+    max_collision_pairs: int = 10000,
+    custom_components: Optional[Dict[str, Any]] = None,
+    seed: int = 0,
+) -> World:
+    custom = {
+        name: cls.zeros(n_entities)
+        for name, cls in (custom_components or {}).items()
+    }
+    return World(
+        transform=Transform.zeros(n_entities),
+        rigid_body=RigidBody.zeros(n_entities),
+        collider=Collider.zeros(n_entities),
+        sprite=SpriteRenderer.zeros(n_entities),
+        mouse=MouseComponent.zeros(n_entities),
+        light=LightEmitter.zeros(n_entities),
+        shadow=ShadowCaster.zeros(n_entities),
+        custom=custom,
+        particles=Particles.zeros(max_particles),
+        key=jax.random.PRNGKey(seed),
+        step_count=jnp.zeros((), jnp.int32),
+        collision_pairs=jnp.full((max_collision_pairs, 2), -1, jnp.int32),
+        collision_pair_count=jnp.zeros((), jnp.int32),
+    )
+
+
+class EntityPool:
+    """Host-side free-list pool for one entity class's index range.
+
+    Replicates the reference's LIFO free list with interleaveFactor=8 scatter
+    (gameObject.js:794-831): indices are pushed in an interleaved order so that
+    consecutive spawns land ~8 slots apart. On TPU the cache-contention motive
+    is gone, but spawn-*index* parity with the reference matters for
+    trajectory-matched tests, so the ordering is reproduced exactly.
+    """
+
+    INTERLEAVE = 8  # gameObject.js:806
+
+    def __init__(self, start: int, count: int):
+        self.start = start
+        self.count = count
+        # Build interleaved order, then push onto LIFO stack in that order.
+        # Reference (gameObject.js:818-831): for offset in 0..interleave-1:
+        #   for base in 0..count step interleave: push(start + base + offset)
+        # then spawn pops from the END of the list (freeList[freeListTop--]).
+        order = []
+        for offset in range(self.INTERLEAVE):
+            base = 0
+            while base + offset < count:
+                order.append(start + base + offset)
+                base += self.INTERLEAVE
+        self.free: list = order  # top of stack = end of list
+        self.active_count = 0
+
+    def claim(self) -> Optional[int]:
+        """Pop one index (gameObject.js:868). Returns None on exhaustion
+        (pool-exhaustion warns + returns null in the reference,
+        gameObject.js:860-865)."""
+        if not self.free:
+            return None
+        idx = self.free.pop()
+        self.active_count += 1
+        return idx
+
+    def release(self, idx: int) -> None:
+        """Push an index back (despawn, gameObject.js:668-691)."""
+        if not (self.start <= idx < self.start + self.count):
+            raise ValueError(f"index {idx} outside pool [{self.start}, {self.start + self.count})")
+        self.free.append(idx)
+        self.active_count -= 1
+
+    @property
+    def free_count(self) -> int:
+        return len(self.free)
+
+
+def scatter_fields(component, idx: jnp.ndarray, updates: Dict[str, jnp.ndarray]):
+    """Masked scatter of per-field updates at entity indices ``idx`` into a
+    component dataclass. ``idx`` may contain -1 entries (dropped)."""
+    changed = {}
+    for name, value in updates.items():
+        arr = getattr(component, name)
+        value = jnp.asarray(value, arr.dtype)
+        changed[name] = arr.at[idx].set(value, mode="drop")
+    return component.replace(**changed)
