@@ -175,11 +175,12 @@ class EntityClass:
 class SetupCtx:
     """Host context for EntityClass.setup."""
 
-    def __init__(self, config: EngineConfig, start: int, count: int, rng):
+    def __init__(self, config: EngineConfig, start: int, count: int, rng, sprites=None):
         self.config = config
         self.start = start
         self.count = count
         self.rng = rng  # shared Mulberry32 stream
+        self.sprites = sprites  # SpriteRegistry
 
     def indices(self) -> np.ndarray:
         return np.arange(self.start, self.start + self.count)
@@ -188,10 +189,11 @@ class SetupCtx:
 class SpawnCtx:
     """Host context for EntityClass.on_spawned."""
 
-    def __init__(self, config: EngineConfig, index: int, rng):
+    def __init__(self, config: EngineConfig, index: int, rng, sprites=None):
         self.config = config
         self.index = index
         self.rng = rng
+        self.sprites = sprites  # SpriteRegistry
 
 
 class TickCtx:

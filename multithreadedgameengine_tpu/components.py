@@ -325,10 +325,9 @@ def define_component(name: str, schema: Dict[str, str]):
         if d not in _DTYPES:
             raise ValueError(f"{name}.{f_name}: unknown dtype {d!r}")
 
-    import dataclasses as _dc
-
-    fields = [(f_name, jnp.ndarray) for f_name in schema]
-    cls = _dc.make_dataclass(name, fields)
+    # build a plain annotated class and let flax.struct create the frozen
+    # dataclass + pytree registration (mirrors the decorator form)
+    cls = type(name, (), {"__annotations__": {f: jnp.ndarray for f in schema}})
     cls = struct.dataclass(cls)
 
     dtypes = {f_name: _DTYPES[d] for f_name, d in schema.items()}

@@ -99,6 +99,9 @@ class Engine:
         self.config = config.validated()
         self.rng = Mulberry32(self.config.seed)
         self.input = InputController()
+        from .assets import SpriteRegistry
+
+        self.sprites = SpriteRegistry()
         # center camera on world (gameEngine.js camera init)
         self.input.camera_x = self.config.world_width / 2
         self.input.camera_y = self.config.world_height / 2
@@ -210,7 +213,7 @@ class Engine:
         for reg in self.classes.values():
             if reg.count == 0:
                 continue
-            ctx = SetupCtx(self.config, reg.start_index, reg.count, self.rng)
+            ctx = SetupCtx(self.config, reg.start_index, reg.count, self.rng, self.sprites)
             updates = reg.cls.setup(ctx) or {}
             for path, value in updates.items():
                 arr = read_field(self.world, path)
@@ -266,7 +269,7 @@ class Engine:
                 raise KeyError(f"unknown spawn property {key!r}")
             updates[path] = value
 
-        ctx = SpawnCtx(self.config, i, self.rng)
+        ctx = SpawnCtx(self.config, i, self.rng, self.sprites)
         extra = reg.cls.on_spawned(ctx, dict(spawn_config)) or {}
         for key, value in extra.items():
             updates[FIELD_ALIASES.get(key, key)] = value

@@ -8,4 +8,4 @@ demos (the reference's de-facto integration tests, SURVEY.md §4):
                       module docstrings).
 """
 
-from . import balls  # noqa: F401
+from . import balls, boids, predators  # noqa: F401
