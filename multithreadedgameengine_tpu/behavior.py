@@ -127,6 +127,11 @@ class EntityClass:
 
     components: Sequence[Any] = ()
 
+    #: whether this class's tick reads its neighbor lists. Classes that don't
+    #: (e.g. the balls demo) let the engine skip building per-entity neighbor
+    #: lists entirely when the grid physics solver is active.
+    uses_neighbors: bool = True
+
     # populated by the engine at registration
     entity_type: int = -1
     start_index: int = 0

@@ -57,9 +57,18 @@ class PhysicsConfig:
     min_speed_for_rotation: float = 0.1
     gravity: Tuple[float, float] = (0.0, 0.0)
     max_collision_pairs: int = 10000
+    # constraint backend: 'auto' (grid solver unless collision events are on),
+    # 'grid', or 'neighbors' (reference-faithful neighbor-list solver).
+    # TPU-only knob — the reference has a single solver.
+    solver: str = "auto"
 
     def validated(self) -> "PhysicsConfig":
-        """Mirror of validatePhysicsConfig (utils.js:269-301)."""
+        """Mirror of validatePhysicsConfig (utils.js:269-301), plus the
+        TPU-only solver knob."""
+        if self.solver not in ("auto", "grid", "neighbors"):
+            raise ValueError(
+                f"physics.solver must be 'auto', 'grid' or 'neighbors', got {self.solver!r}"
+            )
         return dataclasses.replace(
             self,
             sub_step_count=max(1, int(self.sub_step_count)),

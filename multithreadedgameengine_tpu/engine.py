@@ -117,6 +117,10 @@ class Engine:
         self._step_n_fn = None
         self._pending_ops: List[Tuple[str, Any]] = []
         self._resolved_cell_radius: Optional[int] = None
+        # largest collider radius ever written host-side: sizes the grid
+        # solver's geometry; a larger later spawn forces a step rebuild
+        self._max_radius = 0.0
+        self._solver_radius_bound = 0.0
         # collision-event state: previous frame's pair-key set
         self._prev_pairs: np.ndarray = np.empty((0,), np.int64)
         self.metrics: Dict[str, Any] = {}
@@ -215,6 +219,7 @@ class Engine:
                 continue
             ctx = SetupCtx(self.config, reg.start_index, reg.count, self.rng, self.sprites)
             updates = reg.cls.setup(ctx) or {}
+            self._track_radius(updates)
             for path, value in updates.items():
                 arr = read_field(self.world, path)
                 sl = slice(reg.start_index, reg.start_index + reg.count)
@@ -286,8 +291,20 @@ class Engine:
             updates["rigid_body.py"] = y - vy
 
         updates["transform.active"] = True
+        self._track_radius(updates)
         self._pending_ops.append(("spawn", i, updates))
         return i
+
+    def _track_radius(self, updates: Dict[str, Any]) -> None:
+        r = updates.get("collider.radius")
+        if r is not None:
+            import numpy as _np
+
+            r = float(_np.max(_np.asarray(r)))
+            if r > self._max_radius:
+                self._max_radius = r
+                if self._step_fn is not None and r > self._solver_radius_bound:
+                    self._step_fn = None  # re-derive solver geometry
 
     def despawn(self, index: int) -> None:
         """Despawn by index (gameObject.js:668-691)."""
@@ -393,6 +410,32 @@ class Engine:
             if reg.count > 0
         )
 
+        # constraint-solver backend + whether per-entity neighbor lists are
+        # needed at all (ticks that read them, collision events, or the
+        # neighbor-list solver)
+        use_grid_solver = (
+            cfg.physics.solver in ("auto", "grid")
+            and not cfg.logic.collision_events
+        )
+        need_neighbors = cfg.logic.collision_events or not use_grid_solver or any(
+            reg.count > 0
+            and getattr(reg.cls, "tick", None) is not None
+            and reg.cls.uses_neighbors
+            for reg in self.classes.values()
+        )
+        solver_geom = None
+        if use_grid_solver:
+            from .ops.physics_grid import solver_geometry
+
+            r_world = float(jnp.max(read_field(self.world, "collider.radius")))
+            max_r = max(self._max_radius, r_world)
+            self._solver_radius_bound = max_r
+            solver_geom = solver_geometry(cfg, max_r) if max_r > 0 else None
+            if solver_geom is None:
+                need_neighbors = True  # no radii known: neighbor solver
+
+        n = self.world.n_entities
+
         def write_inputs(world: World, inputs: InputState) -> World:
             # Mouse statics → Transform[0] / MouseComponent[0] (Mouse.js:30-104)
             t = world.transform
@@ -410,12 +453,30 @@ class Engine:
                 ),
             )
 
+        from .ops.spatial import NeighborLists
+
         def one_step(world: World, inputs: InputState):
             world = write_inputs(world, inputs)
             t, c = world.transform, world.collider
-            nbr = neighbor_lists(t.x, t.y, t.active, c.visual_range, cfg)
+            if need_neighbors:
+                nbr = neighbor_lists(t.x, t.y, t.active, c.visual_range, cfg)
+            else:
+                # no tick reads neighbors and the grid solver handles
+                # collisions: skip the candidate build entirely
+                nbr = NeighborLists(
+                    ids=jnp.full((n, 1), -1, jnp.int32),
+                    d2=jnp.zeros((n, 1), jnp.float32),
+                    count=jnp.zeros((n,), jnp.int32),
+                    n_binned=jnp.int32(-1),
+                )
             world = run_logic_phase(world, nbr, inputs, cfg, type_ranges)
-            world = physics_step(world, nbr, cfg, cfg.dt_ratio)
+            world = physics_step(
+                world,
+                nbr if need_neighbors else None,
+                cfg,
+                cfg.dt_ratio,
+                solver_geom=solver_geom,
+            )
             world = world.replace(step_count=world.step_count + 1)
             metrics = {
                 "active_count": jnp.sum(world.transform.active, dtype=jnp.int32),

@@ -27,6 +27,8 @@ class Ball(EntityClass):
     """ball.js — components RigidBody, Collider, SpriteRenderer (:15)."""
 
     components = [RigidBody, Collider, SpriteRenderer]
+    # ball.tick reads only the mouse, never its neighbor list (ball.js:114-132)
+    uses_neighbors = False
 
     @classmethod
     def setup(cls, ctx):

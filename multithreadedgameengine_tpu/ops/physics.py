@@ -303,12 +303,40 @@ def record_collision_pairs(
 
 
 def physics_step(
-    world: World, nbr: NeighborLists, cfg: EngineConfig, dt_ratio: float
+    world: World,
+    nbr: "NeighborLists | None",
+    cfg: EngineConfig,
+    dt_ratio: float,
+    solver_geom=None,
 ) -> World:
-    """Full physics frame (updateVerlet, physics_worker.js:145-233)."""
+    """Full physics frame (updateVerlet, physics_worker.js:145-233).
+
+    Constraint backend selection (cfg.physics.solver):
+      - 'grid' / 'auto': the grid-resident solver (ops/physics_grid.py) — the
+        fast path; requires a solver geometry and no collision-event pair
+        recording (events need the per-entity overlap mask).
+      - 'neighbors': the reference-faithful neighbor-list Jacobi solver —
+        also the path used whenever collision events are enabled or no
+        geometry was resolved.
+    """
     world = verlet_move(world, cfg, dt_ratio)
-    world, overlap = apply_constraints(world, nbr, cfg)
+    use_grid = (
+        cfg.physics.solver in ("auto", "grid")
+        and solver_geom is not None
+        and not cfg.logic.collision_events
+    )
+    if use_grid:
+        from .physics_grid import grid_constraints
+
+        world, _n_binned, _overflow = grid_constraints(world, cfg, solver_geom)
+    else:
+        if nbr is None:
+            raise ValueError(
+                "neighbor-list solver requires neighbor lists "
+                "(cfg.physics.solver='neighbors' or collision events enabled)"
+            )
+        world, overlap = apply_constraints(world, nbr, cfg)
+        if cfg.logic.collision_events:
+            world = record_collision_pairs(world, nbr, overlap, cfg)
     world = update_derived(world, cfg)
-    if cfg.logic.collision_events:
-        world = record_collision_pairs(world, nbr, overlap, cfg)
     return world

@@ -26,6 +26,7 @@ The O(N²) brute-force variant is the test oracle and the small-N fast path.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Tuple
 
 import jax
@@ -33,6 +34,92 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import EngineConfig
+
+
+@dataclass(frozen=True)
+class GridGeom:
+    """Static geometry of a binning grid (host-side, hashable — jit-static).
+    The spatial neighbor grid uses the user's config (cell_size etc.,
+    spatial_worker.js:80-86); the physics solver derives its own geometry
+    from the maximum collider radius (ops/physics_grid.py)."""
+
+    cell_size: float
+    rows: int
+    cols: int
+    capacity: int
+
+    @property
+    def num_cells(self) -> int:
+        return self.rows * self.cols
+
+
+@struct.dataclass
+class BinTable:
+    """Entities binned into grid cells by stable sort + rank scatter.
+
+    ``table[c, k]`` = id of the k-th entity (in ascending-id order, matching
+    the reference grid's insertion order, rebuildGrid spatial_worker.js:146-169)
+    in cell c; -1 = empty. Row ``num_cells`` is the all-empty sentinel for
+    out-of-bounds candidate lookups. Entities beyond ``capacity`` in one cell
+    are dropped (reported via n_binned)."""
+
+    table: jnp.ndarray  # int32[num_cells + 1, capacity]
+    cell_id: jnp.ndarray  # int32[N] (num_cells for invalid entities)
+    rank: jnp.ndarray  # int32[N] rank within cell (may exceed capacity)
+    row: jnp.ndarray  # int32[N] clamped cell row
+    col: jnp.ndarray  # int32[N] clamped cell col
+    n_binned: jnp.ndarray  # int32 scalar
+
+
+def bin_entities(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    valid: jnp.ndarray,
+    geom: GridGeom,
+    payload: jnp.ndarray = None,
+) -> BinTable:
+    """Clamped truncation cell assignment (spatial_worker.js:157-161) +
+    stable argsort by cell + within-cell rank + table scatter.
+
+    ``payload``: optional int32[N] of per-entity bits (< 128) packed into the
+    table entries' bits 24+ alongside the id (bits 0-23) — consumers get
+    per-candidate flags for free with the id gather. Requires N < 2^24."""
+    n = x.shape[0]
+    if payload is not None and n >= (1 << 24):
+        raise ValueError("payload packing requires fewer than 2^24 entities")
+    cells = geom.num_cells
+    inv = 1.0 / geom.cell_size
+    col = jnp.clip((x * inv).astype(jnp.int32), 0, geom.cols - 1)
+    row = jnp.clip((y * inv).astype(jnp.int32), 0, geom.rows - 1)
+    cell_id = jnp.where(valid, row * geom.cols + col, cells)
+
+    order = jnp.argsort(cell_id, stable=True).astype(jnp.int32)
+    sorted_cid = cell_id[order]
+    arange_n = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_cid[1:] != sorted_cid[:-1]]
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, arange_n, 0)
+    )
+    rank_sorted = arange_n - run_start
+
+    table_rows = jnp.where(sorted_cid < cells, sorted_cid, cells + 1)
+    table_cols = jnp.where(rank_sorted < geom.capacity, rank_sorted, geom.capacity)
+    values = order if payload is None else order | (payload[order] << 24)
+    table = (
+        jnp.full((cells + 1, geom.capacity), -1, jnp.int32)
+        .at[table_rows, table_cols]
+        .set(values, mode="drop")
+    )
+    # per-entity rank via inverse permutation (gather, not scatter)
+    inv_order = jnp.argsort(order).astype(jnp.int32)
+    rank = rank_sorted[inv_order]
+    n_binned = jnp.sum(table >= 0, dtype=jnp.int32)
+    return BinTable(
+        table=table, cell_id=cell_id, rank=rank, row=row, col=col,
+        n_binned=n_binned,
+    )
 
 
 @struct.dataclass
@@ -93,50 +180,28 @@ def neighbor_lists_grid(
     sp = cfg.spatial
     cells = cfg.total_cells
     cols, rows_n = cfg.grid_cols, cfg.grid_rows
-    cap = sp.cell_capacity
     radius = max(1, sp.max_cell_radius)
+    geom = GridGeom(
+        cell_size=sp.cell_size, rows=rows_n, cols=cols, capacity=sp.cell_capacity
+    )
 
     finite = jnp.isfinite(x) & jnp.isfinite(y)
     valid_entity = active & finite  # NaN guard (spatial_worker.js:152-153)
-
-    row, col = cell_coords(x, y, cfg)
-    cell_id = jnp.where(valid_entity, row * cols + col, cells)
-
-    # --- bin: stable sort by cell, rank within cell, scatter into table ---
-    order = jnp.argsort(cell_id, stable=True).astype(jnp.int32)
-    sorted_cid = cell_id[order]
+    bins = bin_entities(x, y, valid_entity, geom)
     arange_n = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sorted_cid[1:] != sorted_cid[:-1]]
-    )
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, arange_n, 0)
-    )
-    rank = arange_n - run_start
-
-    # table[cells] stays -1 (sentinel row for out-of-world candidate cells);
-    # invalid entities (cell_id == cells) are redirected out of bounds and
-    # dropped, as are per-cell overflow entities (rank >= cap).
-    table_rows = jnp.where(sorted_cid < cells, sorted_cid, cells + 1)
-    table_cols = jnp.where(rank < cap, rank, cap)
-    table = (
-        jnp.full((cells + 1, cap), -1, jnp.int32)
-        .at[table_rows, table_cols]
-        .set(order, mode="drop")
-    )
-    n_binned = jnp.sum(table >= 0, dtype=jnp.int32)
 
     # --- candidate gather over the (2R+1)^2 neighborhood, row-major ---
     offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
     off_r = jnp.repeat(offs, 2 * radius + 1)  # row-major: row outer
     off_c = jnp.tile(offs, 2 * radius + 1)
-    cand_row = row[:, None] + off_r[None, :]  # [N, B]
-    cand_col = col[:, None] + off_c[None, :]
+    cand_row = bins.row[:, None] + off_r[None, :]  # [N, B]
+    cand_col = bins.col[:, None] + off_c[None, :]
     in_bounds = (
         (cand_row >= 0) & (cand_row < rows_n) & (cand_col >= 0) & (cand_col < cols)
     )
     cand_cell = jnp.where(in_bounds, cand_row * cols + cand_col, cells)
-    cand = table[cand_cell].reshape(n, -1)  # [N, B*cap]
+    cand = bins.table[cand_cell].reshape(n, -1)  # [N, B*cap]
+    n_binned = bins.n_binned
 
     # --- exact distance test: 0 < d² < visual_range² (spatial_worker.js:257) ---
     cand_safe = jnp.maximum(cand, 0)
