@@ -68,6 +68,25 @@ class Mouse(EntityClass):
         }
 
 
+class CollisionEventCtx:
+    """Host context handed to collision Enter/Stay/Exit hooks. Caches the
+    position/type arrays once per dispatch so hooks (which in the reference
+    read SoA arrays directly, predator.js:94-125) don't issue per-pair device
+    reads. Mutations go through the control plane (engine.emitter, spawn,
+    despawn) and land before the next step."""
+
+    def __init__(self, engine: "Engine"):
+        self.engine = engine
+        self.emitter = engine.emitter
+        world = engine.world
+        self.x = np.asarray(jax.device_get(world.transform.x))
+        self.y = np.asarray(jax.device_get(world.transform.y))
+        self.entity_type = np.asarray(jax.device_get(world.transform.entity_type))
+
+    def type_of(self, index: int) -> int:
+        return int(self.entity_type[index])
+
+
 @dataclasses.dataclass
 class RegisteredClass:
     cls: type
@@ -100,8 +119,11 @@ class Engine:
         self.rng = Mulberry32(self.config.seed)
         self.input = InputController()
         from .assets import SpriteRegistry
+        from .emitter import ParticleEmitterAPI
 
         self.sprites = SpriteRegistry()
+        self.emitter = ParticleEmitterAPI(self)
+        self._emission_fn = None
         # center camera on world (gameEngine.js camera init)
         self.input.camera_x = self.config.world_width / 2
         self.input.camera_y = self.config.world_height / 2
@@ -198,12 +220,20 @@ class Engine:
         if self._initialized:
             raise RuntimeError("already initialized")
         n = max(1, self.entity_count)
+        decal_shape, tile_shape = (1, 1), (1, 1)
+        if self.config.particle.decals and self.config.particle.max_particles > 0:
+            from .ops.decals import canvas_shape, tile_grid_shape
+
+            decal_shape = canvas_shape(self.config)
+            tile_shape = tile_grid_shape(self.config)
         self.world = make_world(
             n_entities=n,
             max_particles=self.config.particle.max_particles,
             max_collision_pairs=self.config.physics.max_collision_pairs,
             custom_components=self._custom_components,
             seed=self.config.seed,
+            decal_canvas_shape=decal_shape,
+            decal_tile_shape=tile_shape,
         )
         # pre-initialize entityType for every slot, active or not
         # (preInitializeEntityTypeArrays, gameEngine.js:778-791)
@@ -382,6 +412,21 @@ class Engine:
             world = write_field(world, path, new)
         self.world = world
 
+    def _flush_emissions(self) -> None:
+        batch, n = self.emitter.build_batch()
+        if batch is None:
+            return
+        from .ops.particles import apply_emission
+
+        if self._emission_fn is None:
+            self._emission_fn = jax.jit(apply_emission)
+        pool, _spawned = self._emission_fn(
+            self.world.particles,
+            {k: jnp.asarray(v) for k, v in batch.items()},
+            jnp.int32(n),
+        )
+        self.world = self.world.replace(particles=pool)
+
     # ------------------------------------------------------------------
     # the step
     # ------------------------------------------------------------------
@@ -453,7 +498,20 @@ class Engine:
                 ),
             )
 
+        from .ops.culling import (
+            update_entity_visibility,
+            update_particle_visibility,
+        )
+        from .ops.particles import update_particles
         from .ops.spatial import NeighborLists
+
+        has_particles = cfg.particle.max_particles > 0
+        decals_on = has_particles and cfg.particle.decals
+        decal_textures = None
+        if decals_on:
+            from .ops.decals import default_decal_textures
+
+            decal_textures = default_decal_textures(len(self.sprites.textures))
 
         def one_step(world: World, inputs: InputState):
             world = write_inputs(world, inputs)
@@ -477,11 +535,31 @@ class Engine:
                 cfg.dt_ratio,
                 solver_geom=solver_geom,
             )
+            # particle pool + decals (particle_worker phases, SURVEY.md §2.3)
+            p_active = jnp.int32(-1)
+            if has_particles:
+                pool, stamps, p_active = update_particles(
+                    world.particles, cfg, cfg.dt_ratio, decals_on
+                )
+                world = world.replace(particles=pool)
+                if decals_on:
+                    from .ops.decals import stamp_decals
+
+                    canvas, dirty = stamp_decals(
+                        world.decal_canvas, world.decal_dirty, stamps,
+                        decal_textures, cfg,
+                    )
+                    world = world.replace(decal_canvas=canvas, decal_dirty=dirty)
+                world = update_particle_visibility(world, cfg, inputs)
+            # screen culling for entities (particle_worker.js:1012-1056)
+            world = update_entity_visibility(world, cfg, inputs)
+
             world = world.replace(step_count=world.step_count + 1)
             metrics = {
                 "active_count": jnp.sum(world.transform.active, dtype=jnp.int32),
                 "collision_pair_count": world.collision_pair_count,
                 "n_binned": nbr.n_binned,
+                "active_particles": p_active,
             }
             return world, metrics
 
@@ -490,6 +568,7 @@ class Engine:
                 "active_count": jnp.int32(0),
                 "collision_pair_count": jnp.int32(0),
                 "n_binned": jnp.int32(0),
+                "active_particles": jnp.int32(0),
             }
 
             def body(_i, carry):
@@ -520,6 +599,7 @@ class Engine:
         if self._step_fn is None:
             self._build_step()
         self._flush_pending()
+        self._flush_emissions()
         inputs = self.input.snapshot()
         if n == 1:
             self.world, metrics = self._step_fn(self.world, inputs)
@@ -551,6 +631,10 @@ class Engine:
         stays = np.intersect1d(cur, prev, assume_unique=True)
         exits = np.setdiff1d(prev, cur, assume_unique=True)
         self._prev_pairs = cur
+        if not (len(enters) or len(stays) or len(exits)):
+            return
+
+        ctx = CollisionEventCtx(self)
 
         def fire(keys: np.ndarray, hook_name: str) -> None:
             for key in keys:
@@ -559,7 +643,7 @@ class Engine:
                     reg = self._class_of_index(me)
                     hook = getattr(reg.cls, hook_name, None)
                     if hook is not None:
-                        hook(me, other)
+                        hook(ctx, me, other)
 
         fire(enters, "on_collision_enter")
         fire(stays, "on_collision_stay")

@@ -193,6 +193,29 @@ class Predator(Boid):
             "sprite.anchor_y": 1.0,
         }
 
+    @staticmethod
+    def on_collision_stay(ctx, me, other):
+        """predator.js:94-125: blood burst on sustained prey contact —
+        requires logic.collision_events=True (the host event plane)."""
+        if ctx.type_of(other) != Prey.entity_type:
+            return
+        ctx.emitter.emit(
+            count={"min": 4, "max": 8},
+            texture="blood",
+            x=float(ctx.x[other]),
+            y=float(ctx.y[other]),
+            z=-30.0,
+            angle_xy={"min": 0.0, "max": 360.0},
+            speed={"min": 0.7, "max": 1.66},
+            vz={"min": -4.0, "max": 0.0},
+            lifespan=6000.0,
+            gravity=0.15,
+            scale={"min": 0.1, "max": 0.2},
+            alpha={"min": 0.4, "max": 0.9},
+            tint={"min": 0xAAAAAA, "max": 0xFFFFFF},
+            stay_on_the_floor=True,
+        )
+
     @classmethod
     def on_spawned(cls, ctx, spawn_config):
         """predator.js:74-92: 3x scale, radius 30, civil3 sheet."""

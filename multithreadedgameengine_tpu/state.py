@@ -61,6 +61,10 @@ class World:
     # (collisionData SAB analog: [count, a0,b0, a1,b1, ...], gameEngine.js:689-693)
     collision_pairs: jnp.ndarray  # int32[max_pairs, 2], -1 padded
     collision_pair_count: jnp.ndarray  # int32 scalar
+    # decal tilemap (bloodTiles RGBA + dirty SABs analog, gameEngine.js:636-676)
+    # — [1,1,...] placeholders when decals are disabled
+    decal_canvas: jnp.ndarray  # uint8[H_px, W_px, 4]
+    decal_dirty: jnp.ndarray  # bool[tiles_y, tiles_x]
 
     @property
     def n_entities(self) -> int:
@@ -73,6 +77,8 @@ def make_world(
     max_collision_pairs: int = 10000,
     custom_components: Optional[Dict[str, Any]] = None,
     seed: int = 0,
+    decal_canvas_shape: Tuple[int, int] = (1, 1),
+    decal_tile_shape: Tuple[int, int] = (1, 1),
 ) -> World:
     custom = {
         name: cls.zeros(n_entities)
@@ -92,6 +98,8 @@ def make_world(
         step_count=jnp.zeros((), jnp.int32),
         collision_pairs=jnp.full((max_collision_pairs, 2), -1, jnp.int32),
         collision_pair_count=jnp.zeros((), jnp.int32),
+        decal_canvas=jnp.zeros((*decal_canvas_shape, 4), jnp.uint8),
+        decal_dirty=jnp.zeros(decal_tile_shape, jnp.bool_),
     )
 
 
