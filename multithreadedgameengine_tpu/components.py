@@ -168,6 +168,10 @@ class SpriteRenderer:
     active: jnp.ndarray  # bool[N]
     animation_state: jnp.ndarray  # int32[N]
     animation_frame: jnp.ndarray  # int32[N]
+    # fractional frame accumulator — the renderer's per-entity accumulator
+    # array (pixi_worker.js:963-984) promoted into the schema so frame
+    # advancement can run on-device
+    animation_accum: jnp.ndarray  # f32[N]
     animation_speed: jnp.ndarray  # f32[N]
     is_animated: jnp.ndarray  # bool[N]
     spritesheet_id: jnp.ndarray  # int32[N]
@@ -193,6 +197,7 @@ class SpriteRenderer:
         i = lambda: _zeros(n, jnp.int32)
         return SpriteRenderer(
             active=b(), animation_state=i(), animation_frame=i(),
+            animation_accum=f(),
             animation_speed=f(), is_animated=b(), spritesheet_id=i(),
             tint=_zeros(n, jnp.uint32), base_tint=_zeros(n, jnp.uint32),
             alpha=f(), scale_x=f(), scale_y=f(), anchor_x=f(), anchor_y=f(),
@@ -239,18 +244,46 @@ class LightEmitter:
 
 @struct.dataclass
 class ShadowCaster:
-    """ShadowCaster.js:12-25 — entity-marker half of the dual-use schema.
-    (The shadow-*sprite* output buffer is a separate `[max_shadow_sprites]`
-    array produced by the lighting op, not entity-indexed.)"""
+    """ShadowCaster.js:12-25 — entity-marker half of the dual-use schema:
+    per-entity shadow parameters (the shadow-*sprite* output half is
+    :class:`ShadowSprites`, filled by the lighting op)."""
 
     active: jnp.ndarray  # bool[N]
     shadow_radius: jnp.ndarray
+    height: jnp.ndarray  # caster height — longer shadows for taller entities
 
     @staticmethod
     def zeros(n: int) -> "ShadowCaster":
         return ShadowCaster(
             active=_zeros(n, jnp.bool_),
             shadow_radius=_zeros(n, jnp.float32),
+            height=_zeros(n, jnp.float32),
+        )
+
+
+@struct.dataclass
+class ShadowSprites:
+    """Shadow-sprite output buffer (the shadowSpriteData SAB analog,
+    gameEngine.js:618-633): ``[max_shadow_casting_lights ×
+    max_shadows_per_light]`` slots, written by the lighting op each step and
+    consumed by the renderer (pixi_worker.js:1578-1611)."""
+
+    active: jnp.ndarray  # bool[LM]
+    x: jnp.ndarray  # f32[LM]
+    y: jnp.ndarray
+    rotation: jnp.ndarray
+    scale_x: jnp.ndarray
+    scale_y: jnp.ndarray
+    alpha: jnp.ndarray
+    radius: jnp.ndarray
+
+    @staticmethod
+    def zeros(n: int) -> "ShadowSprites":
+        f = lambda: _zeros(n, jnp.float32)
+        return ShadowSprites(
+            active=_zeros(n, jnp.bool_),
+            x=f(), y=f(), rotation=f(), scale_x=f(), scale_y=f(),
+            alpha=f(), radius=f(),
         )
 
 

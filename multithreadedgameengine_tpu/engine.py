@@ -226,6 +226,12 @@ class Engine:
 
             decal_shape = canvas_shape(self.config)
             tile_shape = tile_grid_shape(self.config)
+        lc = self.config.lighting
+        n_shadows = (
+            lc.max_shadow_casting_lights * lc.max_shadows_per_light
+            if (lc.enabled and lc.shadows_enabled)
+            else 0
+        )
         self.world = make_world(
             n_entities=n,
             max_particles=self.config.particle.max_particles,
@@ -234,6 +240,7 @@ class Engine:
             seed=self.config.seed,
             decal_canvas_shape=decal_shape,
             decal_tile_shape=tile_shape,
+            n_shadow_sprites=n_shadows,
         )
         # pre-initialize entityType for every slot, active or not
         # (preInitializeEntityTypeArrays, gameEngine.js:778-791)
@@ -462,11 +469,17 @@ class Engine:
             cfg.physics.solver in ("auto", "grid")
             and not cfg.logic.collision_events
         )
-        need_neighbors = cfg.logic.collision_events or not use_grid_solver or any(
-            reg.count > 0
-            and getattr(reg.cls, "tick", None) is not None
-            and reg.cls.uses_neighbors
-            for reg in self.classes.values()
+        shadows_on = cfg.lighting.enabled and cfg.lighting.shadows_enabled
+        need_neighbors = (
+            cfg.logic.collision_events
+            or not use_grid_solver
+            or shadows_on  # shadow sprites walk each light's neighbor list
+            or any(
+                reg.count > 0
+                and getattr(reg.cls, "tick", None) is not None
+                and reg.cls.uses_neighbors
+                for reg in self.classes.values()
+            )
         )
         solver_geom = None
         if use_grid_solver:
@@ -513,6 +526,16 @@ class Engine:
 
             decal_textures = default_decal_textures(len(self.sprites.textures))
 
+        # per-(sheet, animation) frame counts for on-device frame advance
+        from .render.extract import advance_animation
+
+        sheets = [self.sprites.sheet_by_id(i) for i in range(1, self.sprites._next_sheet_id)]
+        max_anims = max([1] + [len(s.animations) for s in sheets])
+        fc = np.ones((len(sheets) + 1, max_anims), np.int32)
+        for s in sheets:
+            fc[s.sheet_id, : len(s.frame_counts)] = s.frame_counts
+        frame_counts = jnp.asarray(fc)
+
         def one_step(world: World, inputs: InputState):
             world = write_inputs(world, inputs)
             t, c = world.transform, world.collider
@@ -528,6 +551,7 @@ class Engine:
                     n_binned=jnp.int32(-1),
                 )
             world = run_logic_phase(world, nbr, inputs, cfg, type_ranges)
+            world = advance_animation(world, frame_counts, cfg.dt_ratio)
             world = physics_step(
                 world,
                 nbr if need_neighbors else None,
@@ -553,6 +577,17 @@ class Engine:
                 world = update_particle_visibility(world, cfg, inputs)
             # screen culling for entities (particle_worker.js:1012-1056)
             world = update_entity_visibility(world, cfg, inputs)
+
+            # shadow sprites from lights × neighbor shadow casters
+            # (particle_worker.js:861-1004; uses current-frame visibility —
+            # the reference reads the previous frame's, an accepted stale
+            # read in its async pipeline)
+            if shadows_on:
+                from .ops.lighting import shadow_sprites as compute_shadows
+
+                world = world.replace(
+                    shadow_sprites=compute_shadows(world, nbr, cfg)
+                )
 
             world = world.replace(step_count=world.step_count + 1)
             metrics = {
@@ -613,6 +648,30 @@ class Engine:
         if block:
             jax.block_until_ready(self.world)
         return self.metrics
+
+    # ------------------------------------------------------------------
+    # rendering (extraction + headless view)
+    # ------------------------------------------------------------------
+    def render_packet(self, max_visible: int = 0):
+        """Visible-entity packet for a host renderer (render/extract.py)."""
+        self._require_init()
+        from .render.extract import extract_render_packet
+
+        max_visible = max_visible or min(self.world.n_entities, 65536)
+        if getattr(self, "_extract_fn", None) is None or self._extract_max != max_visible:
+            self._extract_max = max_visible
+            self._extract_fn = jax.jit(
+                lambda w: extract_render_packet(w, self.config, max_visible)
+            )
+        return jax.device_get(self._extract_fn(self.world))
+
+    def screenshot(self, path: str, width: int = 0, height: int = 0):
+        """Render the current frame with the headless renderer."""
+        from .render.headless import render_frame
+
+        return render_frame(
+            self, width or None, height or None, path=path
+        )
 
     # ------------------------------------------------------------------
     # collision Enter/Stay/Exit dispatch (logic_worker.js:417-526)

@@ -131,7 +131,8 @@ class Prey(Boid):
             "sprite.scale_x": (1 + scale) * 0.5,
             "sprite.scale_y": scale,
             "collider.radius": radius,
-            "shadow.shadow_radius": radius,
+            "shadow.shadow_radius": radius,  # prey.js:101
+            "shadow.height": radius * 5.0,  # prey.js:102
             "prey_behavior.life": 1.0,
         })
         return out
@@ -228,7 +229,8 @@ class Predator(Boid):
             "sprite.scale_x": scale,
             "sprite.scale_y": scale,
             "collider.radius": radius,
-            "shadow.shadow_radius": radius,
+            "shadow.shadow_radius": radius,  # predator.js:85
+            "shadow.height": radius * 5.0,  # predator.js:86
         })
         if ctx.sprites is not None:
             out["sprite.spritesheet_id"] = ctx.sprites.sheet_id("civil3")

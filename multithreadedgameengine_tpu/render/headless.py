@@ -1,0 +1,175 @@
+"""Headless host renderer: numpy rasterizer + dependency-free PNG writer.
+
+A debug-quality stand-in for the reference's PixiJS WebGL worker
+(src/workers/pixi_worker.js) that draws the same z-layer stack —
+BACKGROUND(0) / DECALS(1) / SHADOWS(2) / ENTITIES(3) / LIGHTING(4)
+(pixi_worker.js:84-91) — into an RGB image:
+
+ - decal canvas alpha-blended over the background,
+ - shadow sprites as rotated dark ellipses,
+ - entities as tinted circles sized by collider radius (sprite atlas drawing
+   is the browser renderer's job; this view is for verification/screenshots),
+ - particles as small tinted dots with z-offset,
+ - lighting as the same ``intensity/(intensity + d²)`` multiply pass the
+   GLSL shader applies (pixi_worker.js:1206-1249).
+
+Everything renders in *world* coordinates through the camera transform used
+by the culling pass.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+import zlib
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """Minimal PNG encoder (8-bit RGB)."""
+    h, w = rgb.shape[:2]
+    raw = b"".join(
+        b"\x00" + rgb[row].astype(np.uint8).tobytes() for row in range(h)
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        out = _struct.pack(">I", len(data)) + tag + data
+        return out + _struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    header = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", header)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def _blend_disc(img, cx, cy, radius, color, alpha):
+    """Alpha-blend a filled disc into img (in-place)."""
+    h, w = img.shape[:2]
+    r = max(1, int(round(radius)))
+    x0, x1 = max(0, int(cx - r)), min(w, int(cx + r + 1))
+    y0, y1 = max(0, int(cy - r)), min(h, int(cy + r + 1))
+    if x0 >= x1 or y0 >= y1:
+        return
+    yy, xx = np.mgrid[y0:y1, x0:x1]
+    mask = (xx - cx) ** 2 + (yy - cy) ** 2 <= r * r
+    a = float(np.clip(alpha, 0.0, 1.0))
+    region = img[y0:y1, x0:x1]
+    region[mask] = region[mask] * (1 - a) + np.asarray(color, np.float32) * a
+
+
+def _tint_rgb(tint: int):
+    return np.array([(tint >> 16) & 0xFF, (tint >> 8) & 0xFF, tint & 0xFF], np.float32)
+
+
+def render_frame(
+    engine,
+    width: Optional[int] = None,
+    height: Optional[int] = None,
+    path: Optional[str] = None,
+    max_entities: int = 20000,
+) -> np.ndarray:
+    """Render the engine's current world through its camera. Returns the
+    RGB uint8 image; writes a PNG when ``path`` is given."""
+    cfg = engine.config
+    width = width or cfg.canvas_width
+    height = height or cfg.canvas_height
+    w = jax.device_get(engine.world)
+    zoom = engine.input.camera_zoom
+    off_x = engine.input.camera_x * zoom
+    off_y = engine.input.camera_y * zoom
+
+    def to_screen(x, y):
+        return x * zoom - off_x, y * zoom - off_y
+
+    img = np.full((height, width, 3), float(cfg.renderer.bg & 0xFF), np.float32)
+    bg = _tint_rgb(cfg.renderer.bg)
+    img[:] = bg
+
+    # DECALS layer
+    canvas = np.asarray(w.decal_canvas, np.float32)
+    if canvas.shape[0] > 1:
+        res = cfg.particle.decals_resolution
+        # decal canvas is world-aligned at `res` px per unit; sample per
+        # screen pixel (nearest)
+        ys = (np.arange(height) + off_y) / zoom * res
+        xs = (np.arange(width) + off_x) / zoom * res
+        yi = np.clip(ys.astype(int), 0, canvas.shape[0] - 1)
+        xi = np.clip(xs.astype(int), 0, canvas.shape[1] - 1)
+        inb = ((ys >= 0) & (ys < canvas.shape[0]))[:, None] & (
+            (xs >= 0) & (xs < canvas.shape[1])
+        )[None, :]
+        patch = canvas[yi][:, xi]
+        a = (patch[..., 3:4] / 255.0) * inb[..., None]
+        img = img * (1 - a) + patch[..., :3] * a
+
+    # SHADOWS layer (dark ellipses, simplified to discs scaled by length)
+    ss = w.shadow_sprites
+    if ss.active.shape[0]:
+        for k in np.nonzero(np.asarray(ss.active))[0]:
+            sx, sy = to_screen(float(ss.x[k]), float(ss.y[k]))
+            _blend_disc(
+                img, sx, sy, float(ss.radius[k]) * zoom,
+                (0, 0, 0), min(float(ss.alpha[k]), 0.6),
+            )
+
+    # ENTITIES layer (y-sorted tinted circles)
+    t, s, c = w.transform, w.sprite, w.collider
+    visible = np.asarray(t.active & s.active & s.render_visible & s.is_on_screen)
+    order = np.argsort(np.where(visible, np.asarray(t.y), np.inf))[:max_entities]
+    for i in order:
+        if not visible[i]:
+            break
+        sx, sy = to_screen(float(t.x[i]), float(t.y[i]))
+        radius = float(c.radius[i]) if c.radius[i] > 0 else 4.0
+        _blend_disc(
+            img, sx, sy, radius * zoom, _tint_rgb(int(s.tint[i])),
+            float(s.alpha[i]),
+        )
+
+    # PARTICLES (dots at y + z offset)
+    p = w.particles
+    if p.x.shape[0]:
+        alive = np.nonzero(np.asarray(p.active & p.is_on_screen))[0]
+        for k in alive[:50000]:
+            sx, sy = to_screen(float(p.x[k]), float(p.y[k]) + float(p.z[k]))
+            _blend_disc(
+                img, sx, sy, max(1.0, 4.0 * float(p.scale[k])) * zoom,
+                _tint_rgb(int(p.tint[k])), float(p.alpha[k]),
+            )
+
+    # LIGHTING multiply pass (intensity/(intensity+d²), pixi_worker.js:1206-1249)
+    if cfg.lighting.enabled:
+        from ..ops.lighting import light_uniforms
+
+        u = jax.device_get(light_uniforms(engine.world, cfg))
+        count = int(u.count)
+        if count:
+            yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+            wx = (xx + off_x) / zoom
+            wy = (yy + off_y) / zoom
+            light = np.full((height, width), cfg.lighting.lighting_ambient, np.float32)
+            light_rgb = np.zeros((height, width, 3), np.float32)
+            for k in range(count):
+                d2 = (wx - float(u.x[k])) ** 2 + (wy - float(u.y[k])) ** 2
+                att = float(u.intensity[k]) / (float(u.intensity[k]) + d2)
+                light += att
+                light_rgb += att[..., None] * (_tint_rgb(int(u.color[k])) / 255.0)
+            light = np.clip(light, 0.0, 1.5)
+            norm = np.maximum(light[..., None], 1e-6)
+            color = np.where(
+                light[..., None] > cfg.lighting.lighting_ambient,
+                light_rgb / norm, 1.0,
+            )
+            img = img * np.clip(light[..., None] * color, 0, 1.5)
+
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    if path:
+        write_png(path, img)
+    return img

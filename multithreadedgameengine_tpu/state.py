@@ -32,6 +32,7 @@ from .components import (
     Particles,
     RigidBody,
     ShadowCaster,
+    ShadowSprites,
     SpriteRenderer,
     Transform,
 )
@@ -65,6 +66,8 @@ class World:
     # — [1,1,...] placeholders when decals are disabled
     decal_canvas: jnp.ndarray  # uint8[H_px, W_px, 4]
     decal_dirty: jnp.ndarray  # bool[tiles_y, tiles_x]
+    # shadow-sprite output buffer ([0]-sized when shadows are disabled)
+    shadow_sprites: ShadowSprites
 
     @property
     def n_entities(self) -> int:
@@ -79,6 +82,7 @@ def make_world(
     seed: int = 0,
     decal_canvas_shape: Tuple[int, int] = (1, 1),
     decal_tile_shape: Tuple[int, int] = (1, 1),
+    n_shadow_sprites: int = 0,
 ) -> World:
     custom = {
         name: cls.zeros(n_entities)
@@ -100,6 +104,7 @@ def make_world(
         collision_pair_count=jnp.zeros((), jnp.int32),
         decal_canvas=jnp.zeros((*decal_canvas_shape, 4), jnp.uint8),
         decal_dirty=jnp.zeros(decal_tile_shape, jnp.bool_),
+        shadow_sprites=ShadowSprites.zeros(n_shadow_sprites),
     )
 
 
