@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import time
 from collections import OrderedDict
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -119,11 +120,20 @@ class Engine:
         self.rng = Mulberry32(self.config.seed)
         self.input = InputController()
         from .assets import SpriteRegistry
+        from .debugging import Debug
         from .emitter import ParticleEmitterAPI
+        from .profiling import PhaseProfiler, StepTimer, TimelineLog
 
         self.sprites = SpriteRegistry()
         self.emitter = ParticleEmitterAPI(self)
         self._emission_fn = None
+        self.debug = Debug(self)
+        self.timer = StepTimer()
+        self.timeline = TimelineLog()
+        self.profiler = PhaseProfiler(self)
+        self._profiling = False
+        self._prev_onscreen: Optional[np.ndarray] = None
+        self.timeline.log("engine constructed")
         # center camera on world (gameEngine.js camera init)
         self.input.camera_x = self.config.world_width / 2
         self.input.camera_y = self.config.world_height / 2
@@ -636,18 +646,78 @@ class Engine:
         self._flush_pending()
         self._flush_emissions()
         inputs = self.input.snapshot()
+        t0 = time.time()
         if n == 1:
             self.world, metrics = self._step_fn(self.world, inputs)
         else:
             self.world, metrics = self._step_n_fn(
                 self.world, inputs, jnp.int32(n)
             )
+        if block or self._profiling:
+            jax.block_until_ready(self.world)
+        # moving-average step timing (dispatch-only unless blocking/profiling)
+        self.timer.record((time.time() - t0) / n, n)
         self.metrics = metrics
         if self.config.logic.collision_events:
             self._dispatch_collision_events()
-        if block:
-            jax.block_until_ready(self.world)
+        if self.config.logic.screen_events:
+            self._dispatch_screen_events()
         return self.metrics
+
+    def enable_profiling(self, on: bool = True) -> None:
+        """enableProfiling (gameEngine.js:1731-1747): makes step() block so
+        the moving-average timer reports true device step time, and unlocks
+        engine.profiler.profile_phases()."""
+        self._profiling = on
+
+    def stats(self) -> Dict[str, Any]:
+        """The DOM stats-panel analog (gameEngine.js:1326-1381): steps/sec,
+        entity/particle counts, per-class pool stats."""
+        out = {
+            "steps_per_sec": round(self.timer.steps_per_sec, 2),
+            "ms_per_step": round(self.timer.ms_per_step, 3),
+            "total_steps": self.timer.total_steps,
+            "pools": {
+                name: self.get_pool_stats(name) for name in self.classes
+            },
+        }
+        for key, value in (self.metrics or {}).items():
+            out[key] = int(jax.device_get(value))
+        return out
+
+    # ------------------------------------------------------------------
+    # onScreenEnter/Exit events (logic_worker.js:534-554)
+    # ------------------------------------------------------------------
+    def _dispatch_screen_events(self) -> None:
+        cur = np.asarray(jax.device_get(
+            self.world.sprite.is_on_screen & self.world.transform.active
+        ))
+        # the reference's per-worker prev-visibility arrays start zeroed
+        # (logic_worker.js:534-554), so the first visible frame fires Enter
+        prev = self._prev_onscreen
+        self._prev_onscreen = cur
+        if prev is None:
+            prev = np.zeros_like(cur)
+        entered = np.nonzero(cur & ~prev)[0]
+        exited = np.nonzero(~cur & prev)[0]
+        for indices, hook_name in ((entered, "on_screen_enter"), (exited, "on_screen_exit")):
+            for i in indices:
+                hook = getattr(self._class_of_index(int(i)).cls, hook_name, None)
+                if hook is not None:
+                    hook(int(i))
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume to disk (SURVEY.md §5.4)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(self, path)
+
+    def load_checkpoint(self, path: str) -> None:
+        from .checkpoint import load_checkpoint
+
+        load_checkpoint(self, path)
 
     # ------------------------------------------------------------------
     # rendering (extraction + headless view)
