@@ -65,6 +65,23 @@ def solver_geometry(
     return GridGeom(cell_size=cell, rows=rows, cols=cols, capacity=cap)
 
 
+def _shard_spatial_rows(arr: jnp.ndarray, cfg: EngineConfig) -> jnp.ndarray:
+    """Spatial-domain sharding hint: split a [rows, cols, cap] grid tensor
+    into per-device horizontal world slabs along the mesh's data axis. A
+    no-op outside a mesh context (single-chip jit). Under a mesh, GSPMD
+    partitions the whole constraint pass by world rows and materializes the
+    3×3 neighborhood slices as halo exchanges between slab neighbors."""
+    import jax as _jax
+    from jax.sharding import PartitionSpec as _P
+
+    try:
+        return _jax.lax.with_sharding_constraint(
+            arr, _P(cfg.sharding.axis_name, None, None)
+        )
+    except Exception:
+        return arr
+
+
 def grid_constraints(
     world: World,
     cfg: EngineConfig,
@@ -108,11 +125,12 @@ def grid_constraints(
         g = arr[tsafe]
         return jnp.where(occupied, g, jnp.asarray(fill, g.dtype))
 
-    gx = grab(t.x)
-    gy = grab(t.y)
-    gpx = grab(rb.px)
-    gpy = grab(rb.py)
-    grad = grab(c.radius)
+    shard = lambda a: _shard_spatial_rows(a, cfg)
+    gx = shard(grab(t.x))
+    gy = shard(grab(t.y))
+    gpx = shard(grab(rb.px))
+    gpy = shard(grab(rb.py))
+    grad = shard(grab(c.radius))
     g_coll = (pk & 1) == 1
     g_trig = (pk & 2) != 0
     g_static = (pk & 4) != 0

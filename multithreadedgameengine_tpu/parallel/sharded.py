@@ -58,12 +58,25 @@ def shard_world(world: World, mesh: Mesh, axis_name: str = "entities") -> World:
 def make_sharded_step(step_fn, world: World, mesh: Mesh, axis_name: str = "entities"):
     """jit the (world, inputs) -> (world, metrics) step with entity-axis
     shardings; GSPMD inserts the ICI collectives. The returned callable
-    expects a world already placed with :func:`shard_world`."""
+    expects a world already placed with :func:`shard_world`.
+
+    Tracing runs inside ``jax.sharding.use_mesh`` so the grid solver's
+    spatial-domain sharding constraints (ops/physics_grid.py
+    ``_shard_spatial_rows``) resolve: the constraint pass's [rows, cols, cap]
+    tensors shard along grid ROWS — world-space slabs per device — and the
+    3×3 neighborhood slices become XLA-inserted halo exchanges over ICI
+    (SURVEY.md §5.7: the spatial-grid halo exchange of BASELINE config 5)."""
     w_shard = world_shardings(world, mesh, axis_name)
     replicated = NamedSharding(mesh, P())
-    return jax.jit(
+    jitted = jax.jit(
         step_fn,
         in_shardings=(w_shard, replicated),
         out_shardings=(w_shard, replicated),
         donate_argnums=0,
     )
+
+    def call(world, inputs):
+        with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+            return jitted(world, inputs)
+
+    return call
