@@ -495,10 +495,16 @@ class Engine:
         if use_grid_solver:
             from .ops.physics_grid import solver_geometry
 
-            r_world = float(jnp.max(read_field(self.world, "collider.radius")))
+            radii = np.asarray(jax.device_get(read_field(self.world, "collider.radius")))
+            r_world = float(radii.max()) if radii.size else 0.0
             max_r = max(self._max_radius, r_world)
+            present = radii[radii > 0]
+            mean_r = float(present.mean()) if present.size else max_r
             self._solver_radius_bound = max_r
-            solver_geom = solver_geometry(cfg, max_r) if max_r > 0 else None
+            solver_geom = (
+                solver_geometry(cfg, max_r, mean_radius=mean_r)
+                if max_r > 0 else None
+            )
             if solver_geom is None:
                 need_neighbors = True  # no radii known: neighbor solver
 

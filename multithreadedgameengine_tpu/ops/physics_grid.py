@@ -43,6 +43,7 @@ from .spatial import GridGeom, bin_entities
 def solver_geometry(
     cfg: EngineConfig,
     max_radius: float,
+    mean_radius: float = 0.0,
     reach_factor: float = 1.25,
     target_occupancy: float = 0.9,
 ) -> GridGeom:
@@ -50,17 +51,22 @@ def solver_geometry(
     3×3 neighborhood (cell ≥ 2·r_max), widened by ``reach_factor`` so pairs
     that drift into contact *during* a frame's substeps are still candidates
     — the same slack the reference gets from visualRange > collision reach
-    (e.g. ball.js:34: vr = 1.33·cellSize ≈ 1.1 × max pair distance). Capacity
-    is sized for dense packing of r_max/3-sized entities plus headroom.
-    Static per compile; the engine re-derives it when a spawn writes a larger
-    radius."""
+    (e.g. ball.js:34: vr = 1.33·cellSize ≈ 1.1 × max pair distance).
+
+    Capacity sizes for dense packing of *typical* (mean-radius) entities with
+    50% headroom — pair work scales with capacity², so an over-provisioned
+    cap is the solver's main waste. Pathological clusters beyond capacity
+    degrade to boundary-only for the frame and are visible in the overflow
+    diagnostic (the reference's analogous degradation is its maxNeighbors
+    truncation dropping collision pairs, physics_worker.js:379-382)."""
     cell = max(2.0 * max_radius * reach_factor, 1e-3)
     rows = max(1, math.ceil(cfg.world_height / cell))
     cols = max(1, math.ceil(cfg.world_width / cell))
-    # capacity: circles of radius >= r_max/3 whose centers fall in one cell
-    # (worst-case transient stacking is higher; overflow is reported)
-    r_small = max(max_radius / 3.0, 1e-3)
-    cap = int((cell + 2 * r_small) ** 2 / (math.pi * r_small**2) * target_occupancy)
+    r_bar = mean_radius if mean_radius > 0 else max_radius
+    r_bar = max(r_bar, max_radius / 3.0, 1e-3)
+    cap = int(
+        (cell + 2 * r_bar) ** 2 / (math.pi * r_bar**2) * target_occupancy * 1.5
+    )
     cap = max(8, min(64, ((cap + 7) // 8) * 8))
     return GridGeom(cell_size=cell, rows=rows, cols=cols, capacity=cap)
 
@@ -140,100 +146,86 @@ def grid_constraints(
     elasticity = ph.boundary_elasticity
     salt = world.step_count.astype(jnp.uint32)
 
-    # half-shell cell offsets (3x3): self handled separately with a triangle
-    # mask; each remaining unordered cell pair appears exactly once.
-    HALF_OFFSETS = ((0, 1), (1, -1), (1, 0), (1, 1))
-    tri_a = jnp.arange(cap, dtype=jnp.int32)[:, None]
-    tri_b = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    tri = tri_a < tri_b  # [cap, cap] pair-once within a cell
-
-    def pair_block(xa, ya, ra, ca_, qa, sa, ia, xb, yb, rbad, cb, qb, sb, ib, pair_mask):
-        """All-pairs block between slot sets a (axis -2) and b (axis -1).
-        Returns (disp_a [.., cap], disp_b [.., cap], count_a, count_b)."""
-        dx = xa[..., :, None] - xb[..., None, :]
-        dy = ya[..., :, None] - yb[..., None, :]
-        d2 = dx * dx + dy * dy
-        min_d = ra[..., :, None] + rbad[..., None, :]
-        ok = pair_mask & ca_[..., :, None] & cb[..., None, :]
-        overlap = ok & (d2 < min_d * min_d)
-
-        trig = qa[..., :, None] | qb[..., None, :]
-        st_a = sa[..., :, None]
-        st_b = sb[..., None, :]
-        share_a = jnp.where(trig | st_a, 0.0, jnp.where(st_b, 1.0, 0.5))
-        share_b = jnp.where(trig | st_b, 0.0, jnp.where(st_a, 1.0, 0.5))
-
-        dist = jnp.sqrt(d2)
-        inv_dist = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, 1e-30), 0.0)
-        corr = (min_d - dist) * strength
-        nx = dx * inv_dist
-        ny = dy * inv_dist
-
-        # exact-overlap jitter (physics_worker.js:459-506): pair-consistent
-        # hash angle; the lower-id side pushes +, the higher-id side −
-        zero = d2 == 0
-        ang = _pair_hash_angle(ia[..., :, None], ib[..., None, :], salt)
-        sep = jnp.float32(0.001)
-        sign_a = jnp.where(ia[..., :, None] < ib[..., None, :], 1.0, -1.0)
-        zshare_a = jnp.where(trig | st_a, 0.0, jnp.where(st_b, 2.0, 1.0))
-        zshare_b = jnp.where(trig | st_b, 0.0, jnp.where(st_a, 2.0, 1.0))
-        zx = jnp.cos(ang) * sep
-        zy = jnp.sin(ang) * sep
-
-        px_a = jnp.where(zero, zx * sign_a * zshare_a, nx * corr * share_a)
-        py_a = jnp.where(zero, zy * sign_a * zshare_a, ny * corr * share_a)
-        px_b = jnp.where(zero, zx * (-sign_a) * zshare_b, -nx * corr * share_b)
-        py_b = jnp.where(zero, zy * (-sign_a) * zshare_b, -ny * corr * share_b)
-
-        ov = overlap.astype(jnp.float32)
-        disp_ax = jnp.sum(px_a * ov, axis=-1)
-        disp_ay = jnp.sum(py_a * ov, axis=-1)
-        disp_bx = jnp.sum(px_b * ov, axis=-2)
-        disp_by = jnp.sum(py_b * ov, axis=-2)
-        cnt_a = jnp.sum(overlap, axis=-1, dtype=jnp.int32)
-        cnt_b = jnp.sum(overlap, axis=-2, dtype=jnp.int32)
-        return disp_ax, disp_ay, disp_bx, disp_by, cnt_a, cnt_b
-
     center = (slice(1, R + 1), slice(1, C + 1))
+    # full-shell 3x3 offsets: every ordered pair (i, j) is evaluated from i's
+    # side exactly once (the self cell's i==j case is masked by id equality),
+    # so each entity accumulates its own share with no reaction scatter —
+    # the same Jacobi form as the neighbor-list solver.
+    OFFSETS = tuple(
+        (dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+    )
+    # neighbor slots processed in chunks of J: intermediates stay
+    # [R, C, cap, J] (bounded, fusion-friendly) instead of [.., cap, cap]
+    J = min(8, cap)
+    assert cap % J == 0
 
     def substep(_k, carry):
         gx, gy, gpx, gpy, cnt = carry
         # boundary clamp + bounce in grid layout (physics_worker.js:344-376)
-        bx, bpx = _boundary(gx, gpx, grad, cfg.world_width, g_moving, elasticity)
-        by, bpy = _boundary(gy, gpy, grad, cfg.world_height, g_moving, elasticity)
-        gx, gy, gpx, gpy = bx, by, bpx, bpy
+        gx, gpx = _boundary(gx, gpx, grad, cfg.world_width, g_moving, elasticity)
+        gy, gpy = _boundary(gy, gpy, grad, cfg.world_height, g_moving, elasticity)
 
-        disp_x = jnp.zeros_like(gx)
-        disp_y = jnp.zeros_like(gy)
-        sub_cnt = jnp.zeros(gx.shape, jnp.int32)
+        xs = gx[center][..., :, None]  # [R, C, cap, 1]
+        ys = gy[center][..., :, None]
+        rs = grad[center][..., :, None]
+        ok_i = g_coll[center][..., :, None]
+        trig_i = g_trig[center][..., :, None]
+        st_i = g_static[center][..., :, None]
+        id_i = gid[center][..., :, None]
 
-        # within-cell pairs (triangle)
-        args_c = (
-            gx[center], gy[center], grad[center], g_coll[center],
-            g_trig[center], g_static[center], gid[center],
-        )
-        dax, day, dbx, dby, ca_, cb = pair_block(*args_c, *args_c, tri)
-        disp_x = disp_x.at[center].add(dax + dbx)
-        disp_y = disp_y.at[center].add(day + dby)
-        sub_cnt = sub_cnt.at[center].add(ca_ + cb)
+        disp_x = jnp.zeros(gx[center].shape, jnp.float32)
+        disp_y = jnp.zeros_like(disp_x)
+        sub_cnt = jnp.zeros(disp_x.shape, jnp.int32)
 
-        # half-shell neighbor cells: compute each unordered cell pair once,
-        # reaction applied through the reverse shift
-        for dr, dc in HALF_OFFSETS:
+        for dr, dc in OFFSETS:
             nbr = (slice(1 + dr, R + 1 + dr), slice(1 + dc, C + 1 + dc))
-            args_n = (
-                gx[nbr], gy[nbr], grad[nbr], g_coll[nbr],
-                g_trig[nbr], g_static[nbr], gid[nbr],
-            )
-            dax, day, dbx, dby, ca_, cb = pair_block(*args_c, *args_n, True)
-            disp_x = disp_x.at[center].add(dax)
-            disp_y = disp_y.at[center].add(day)
-            sub_cnt = sub_cnt.at[center].add(ca_)
-            disp_x = disp_x.at[nbr].add(dbx)
-            disp_y = disp_y.at[nbr].add(dby)
-            sub_cnt = sub_cnt.at[nbr].add(cb)
-        # NOTE: args_c reads the pre-pass gx while disp accumulates — Jacobi.
-        return (gx + disp_x, gy + disp_y, gpx, gpy, cnt + sub_cnt)
+            xn_full, yn_full = gx[nbr], gy[nbr]
+            rn_full = grad[nbr]
+            okn_full, trign_full = g_coll[nbr], g_trig[nbr]
+            stn_full, idn_full = g_static[nbr], gid[nbr]
+            for c0 in range(0, cap, J):
+                sl = slice(c0, c0 + J)
+                xb = xn_full[..., None, sl]  # [R, C, 1, J]
+                yb = yn_full[..., None, sl]
+                rb_ = rn_full[..., None, sl]
+                ok = ok_i & okn_full[..., None, sl] & (id_i != idn_full[..., None, sl])
+                dx = xs - xb
+                dy = ys - yb
+                d2 = dx * dx + dy * dy
+                min_d = rs + rb_
+                overlap = ok & (d2 < min_d * min_d)
+
+                trig = trig_i | trign_full[..., None, sl]
+                st_j = stn_full[..., None, sl]
+                share = jnp.where(
+                    trig | st_i, 0.0, jnp.where(st_j, 1.0, 0.5)
+                )
+                dist = jnp.sqrt(d2)
+                inv_dist = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, 1e-30), 0.0)
+                corr = (min_d - dist) * strength * share
+                # exact-overlap jitter (physics_worker.js:459-506)
+                zero = d2 == 0
+                id_j = idn_full[..., None, sl]
+                ang = _pair_hash_angle(id_i, id_j, salt)
+                sign = jnp.where(id_i < id_j, 1.0, -1.0)
+                zshare = jnp.where(
+                    trig | st_i, 0.0, jnp.where(st_j, 2.0, 1.0)
+                ) * sign * jnp.float32(0.001)
+                push_x = jnp.where(zero, jnp.cos(ang) * zshare, dx * inv_dist * corr)
+                push_y = jnp.where(zero, jnp.sin(ang) * zshare, dy * inv_dist * corr)
+                ov = overlap.astype(jnp.float32)
+                disp_x = disp_x + jnp.sum(push_x * ov, axis=-1)
+                disp_y = disp_y + jnp.sum(push_y * ov, axis=-1)
+                sub_cnt = sub_cnt + jnp.sum(overlap, axis=-1, dtype=jnp.int32)
+
+        # NOTE: reads are against the substep's starting positions — Jacobi.
+        pad = ((1, 1), (1, 1), (0, 0))
+        return (
+            gx + jnp.pad(disp_x, pad),
+            gy + jnp.pad(disp_y, pad),
+            gpx, gpy,
+            cnt + jnp.pad(sub_cnt, pad),
+        )
 
     init = (gx, gy, gpx, gpy, jnp.zeros(gx.shape, jnp.int32))
     gx, gy, gpx, gpy, g_count = jax.lax.fori_loop(0, ph.sub_step_count, substep, init)
