@@ -40,7 +40,7 @@ def main() -> None:
     t0 = time.time()
     for _ in range(CHUNKS):
         eng.step(CHUNK)
-    jax.block_until_ready(eng.world)
+    eng.sync()  # real device barrier (block_until_ready lies under axon)
     dt = time.time() - t0
     steps_per_sec = CHUNKS * CHUNK / dt
 

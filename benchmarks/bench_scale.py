@@ -27,7 +27,7 @@ def run_size(n_balls: int, chunk: int = 20) -> dict:
         world_height=4000.0 * scale,
     )
     t0 = time.time()
-    eng.step(5, block=True)
+    eng.step(5, block=True)  # block=True syncs via device_get internally
     warm = time.time() - t0
     times = []
     for _ in range(3):

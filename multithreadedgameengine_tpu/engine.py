@@ -660,7 +660,7 @@ class Engine:
                 self.world, inputs, jnp.int32(n)
             )
         if block or self._profiling:
-            jax.block_until_ready(self.world)
+            self.sync()
         # moving-average step timing (dispatch-only unless blocking/profiling)
         self.timer.record((time.time() - t0) / n, n)
         self.metrics = metrics
@@ -669,6 +669,14 @@ class Engine:
         if self.config.logic.screen_events:
             self._dispatch_screen_events()
         return self.metrics
+
+    def sync(self) -> None:
+        """Force completion of all queued device work.
+
+        NOTE: under the axon TPU tunnel ``jax.block_until_ready`` returns
+        before execution finishes; a tiny ``device_get`` is the only reliable
+        barrier, so that is what this uses (4 bytes over the wire)."""
+        jax.device_get(self.world.step_count)
 
     def enable_profiling(self, on: bool = True) -> None:
         """enableProfiling (gameEngine.js:1731-1747): makes step() block so

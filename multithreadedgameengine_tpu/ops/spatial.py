@@ -77,13 +77,18 @@ def bin_entities(
     valid: jnp.ndarray,
     geom: GridGeom,
     payload: jnp.ndarray = None,
+    build_table: bool = True,
 ) -> BinTable:
     """Clamped truncation cell assignment (spatial_worker.js:157-161) +
     stable argsort by cell + within-cell rank + table scatter.
 
     ``payload``: optional int32[N] of per-entity bits (< 128) packed into the
     table entries' bits 24+ alongside the id (bits 0-23) — consumers get
-    per-candidate flags for free with the id gather. Requires N < 2^24."""
+    per-candidate flags for free with the id gather. Requires N < 2^24.
+
+    ``build_table=False`` skips the [cells, capacity] table (consumers that
+    scatter their own payloads — the grid physics solver — only need
+    cell/rank per entity); ``table`` is then a [1, capacity] placeholder."""
     n = x.shape[0]
     if payload is not None and n >= (1 << 24):
         raise ValueError("payload packing requires fewer than 2^24 entities")
@@ -104,18 +109,24 @@ def bin_entities(
     )
     rank_sorted = arange_n - run_start
 
-    table_rows = jnp.where(sorted_cid < cells, sorted_cid, cells + 1)
-    table_cols = jnp.where(rank_sorted < geom.capacity, rank_sorted, geom.capacity)
-    values = order if payload is None else order | (payload[order] << 24)
-    table = (
-        jnp.full((cells + 1, geom.capacity), -1, jnp.int32)
-        .at[table_rows, table_cols]
-        .set(values, mode="drop")
-    )
+    if build_table:
+        table_rows = jnp.where(sorted_cid < cells, sorted_cid, cells + 1)
+        table_cols = jnp.where(rank_sorted < geom.capacity, rank_sorted, geom.capacity)
+        values = order if payload is None else order | (payload[order] << 24)
+        table = (
+            jnp.full((cells + 1, geom.capacity), -1, jnp.int32)
+            .at[table_rows, table_cols]
+            .set(values, mode="drop")
+        )
+        n_binned = jnp.sum(table >= 0, dtype=jnp.int32)
+    else:
+        table = jnp.full((1, geom.capacity), -1, jnp.int32)
+        n_binned = jnp.sum(
+            valid & (jnp.zeros_like(cell_id) == 0), dtype=jnp.int32
+        )
     # per-entity rank via inverse permutation (gather, not scatter)
     inv_order = jnp.argsort(order).astype(jnp.int32)
     rank = rank_sorted[inv_order]
-    n_binned = jnp.sum(table >= 0, dtype=jnp.int32)
     return BinTable(
         table=table, cell_id=cell_id, rank=rank, row=row, col=col,
         n_binned=n_binned,

@@ -96,14 +96,20 @@ class PhaseProfiler:
             for r in eng.classes.values() if r.count > 0
         )
 
+        def sync(out):
+            # block_until_ready does not block through the axon tunnel; a
+            # tiny device_get of one leaf is the reliable barrier
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf)
+
         def timed(name, fn, *args):
             jfn = jax.jit(fn)
             out = jfn(*args)
-            jax.block_until_ready(out)
+            sync(out)
             t0 = time.time()
             for _ in range(reps):
                 out = jfn(*args)
-            jax.block_until_ready(out)
+            sync(out)
             self.last[name] = (time.time() - t0) / reps * 1000.0
             return out
 

@@ -49,6 +49,30 @@ def write_png(path: str, rgb: np.ndarray) -> None:
         f.write(png)
 
 
+def _draw_line(img, x0, y0, x1, y1, color, alpha=1.0):
+    """Simple DDA line for debug overlays."""
+    h, w = img.shape[:2]
+    steps = int(max(abs(x1 - x0), abs(y1 - y0), 1))
+    ts = np.linspace(0.0, 1.0, steps + 1)
+    xs = np.round(x0 + (x1 - x0) * ts).astype(int)
+    ys = np.round(y0 + (y1 - y0) * ts).astype(int)
+    ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    a = float(np.clip(alpha, 0, 1))
+    img[ys[ok], xs[ok]] = img[ys[ok], xs[ok]] * (1 - a) + np.asarray(color, np.float32) * a
+
+
+def _draw_circle_outline(img, cx, cy, radius, color, alpha=1.0):
+    h, w = img.shape[:2]
+    r = max(1.0, radius)
+    n = max(12, int(r))
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    xs = np.round(cx + r * np.cos(ang)).astype(int)
+    ys = np.round(cy + r * np.sin(ang)).astype(int)
+    ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    a = float(np.clip(alpha, 0, 1))
+    img[ys[ok], xs[ok]] = img[ys[ok], xs[ok]] * (1 - a) + np.asarray(color, np.float32) * a
+
+
 def _blend_disc(img, cx, cy, radius, color, alpha):
     """Alpha-blend a filled disc into img (in-place)."""
     h, w = img.shape[:2]
@@ -168,6 +192,62 @@ def render_frame(
                 light_rgb / norm, 1.0,
             )
             img = img * np.clip(light[..., None] * color, 0, 1.5)
+
+    # DEBUG overlays (flag-gated Graphics pass, pixi_worker.js:337-646)
+    flags = getattr(engine.debug, "flags", {})
+    if any(flags.get(k) for k in ("colliders", "velocity", "acceleration",
+                                  "grid", "neighbors", "indices")):
+        t, c, rb = w.transform, w.collider, w.rigid_body
+        active_idx = np.nonzero(np.asarray(t.active))[0][:2000]
+        if flags.get("grid"):
+            cell = cfg.spatial.cell_size
+            gx0 = int((off_x / zoom) // cell) * cell
+            gy0 = int((off_y / zoom) // cell) * cell
+            x_world = gx0
+            while x_world * zoom - off_x < width:
+                sx = x_world * zoom - off_x
+                _draw_line(img, sx, 0, sx, height - 1, (60, 60, 60), 0.5)
+                x_world += cell
+            y_world = gy0
+            while y_world * zoom - off_y < height:
+                sy = y_world * zoom - off_y
+                _draw_line(img, 0, sy, width - 1, sy, (60, 60, 60), 0.5)
+                y_world += cell
+        for i in active_idx:
+            sx, sy = to_screen(float(t.x[i]), float(t.y[i]))
+            if sx < -50 or sx > width + 50 or sy < -50 or sy > height + 50:
+                continue
+            if flags.get("colliders") and c.active[i]:
+                col = (255, 255, 0) if not c.is_trigger[i] else (0, 255, 255)
+                _draw_circle_outline(img, sx, sy, float(c.radius[i]) * zoom, col, 0.8)
+            if flags.get("velocity") and rb.active[i]:
+                _draw_line(img, sx, sy, sx + float(rb.vx[i]) * 5 * zoom,
+                           sy + float(rb.vy[i]) * 5 * zoom, (0, 255, 0), 0.9)
+            if flags.get("acceleration") and rb.active[i]:
+                _draw_line(img, sx, sy, sx + float(rb.ax[i]) * 50 * zoom,
+                           sy + float(rb.ay[i]) * 50 * zoom, (255, 0, 255), 0.9)
+        if flags.get("neighbors"):
+            # mouse-nearest neighbor links (pixi_worker's neighbor overlay
+            # visualizes the entity nearest the mouse)
+            mx, my = engine.input.mouse_x, engine.input.mouse_y
+            xs_all = np.asarray(t.x)
+            ys_all = np.asarray(t.y)
+            act = np.asarray(t.active)
+            if act[1:].any():
+                cand = np.nonzero(act)[0]
+                cand = cand[cand != 0]
+                d2 = (xs_all[cand] - mx) ** 2 + (ys_all[cand] - my) ** 2
+                star = int(cand[np.argmin(d2)])
+                vr = float(np.asarray(w.collider.visual_range)[star])
+                s0x, s0y = to_screen(float(xs_all[star]), float(ys_all[star]))
+                _draw_circle_outline(img, s0x, s0y, vr * zoom, (255, 128, 0), 0.9)
+                near = cand[((xs_all[cand] - xs_all[star]) ** 2
+                             + (ys_all[cand] - ys_all[star]) ** 2) < vr * vr]
+                for j in near[:100]:
+                    if j == star:
+                        continue
+                    s1x, s1y = to_screen(float(xs_all[j]), float(ys_all[j]))
+                    _draw_line(img, s0x, s0y, s1x, s1y, (255, 128, 0), 0.5)
 
     img = np.clip(img, 0, 255).astype(np.uint8)
     if path:
