@@ -132,6 +132,14 @@ class EntityClass:
     #: lists entirely when the grid physics solver is active.
     uses_neighbors: bool = True
 
+    #: world field paths the tick reads PER NEIGHBOR (e.g. boids read
+    #: neighbors' x/y/vx/vy/entityType). Declared fields ride the neighbor
+    #: table as payload channels, making ctx.neighbor_col(path) a free slice
+    #: instead of a random gather — the decisive optimization for
+    #: flocking-scale neighbor counts. Undeclared paths still work through
+    #: ctx.gather (slow path).
+    neighbor_fields: Sequence[str] = ()
+
     # populated by the engine at registration
     entity_type: int = -1
     start_index: int = 0
@@ -211,10 +219,12 @@ class TickCtx:
     """
 
     __slots__ = ("i", "world", "neighbor_ids", "neighbor_d2", "neighbor_count",
-                 "inputs", "dt_ratio", "config")
+                 "inputs", "dt_ratio", "config", "neighbor_payload",
+                 "payload_channels")
 
     def __init__(self, i, world: World, neighbor_ids, neighbor_d2,
-                 neighbor_count, inputs: InputState, dt_ratio, config: EngineConfig):
+                 neighbor_count, inputs: InputState, dt_ratio, config: EngineConfig,
+                 neighbor_payload=None, payload_channels=None):
         self.i = i
         self.world = world
         self.neighbor_ids = neighbor_ids  # int32[K], -1 padded
@@ -223,6 +233,8 @@ class TickCtx:
         self.inputs = inputs
         self.dt_ratio = dt_ratio
         self.config = config
+        self.neighbor_payload = neighbor_payload  # f32[K, F] or None
+        self.payload_channels = payload_channels or {}
 
     # -- self accessors (this.x / this.vx ... gameObject.js:226-295) --
     def field(self, path: str) -> jnp.ndarray:
@@ -261,13 +273,25 @@ class TickCtx:
         return jnp.maximum(self.neighbor_ids, 0)
 
     def gather(self, path_or_array) -> jnp.ndarray:
-        """Gather a world field (or raw [N] array) at the neighbor indices."""
+        """Gather a world field (or raw [N] array) at the neighbor indices.
+        SLOW PATH (random gather) — declare the path in the class's
+        ``neighbor_fields`` to get it as a free payload channel instead."""
         arr = (
             read_field(self.world, path_or_array)
             if isinstance(path_or_array, str)
             else path_or_array
         )
         return arr[self.neighbor_ids_safe]
+
+    def neighbor_col(self, path: str) -> jnp.ndarray:
+        """Per-neighbor values of a world field: a payload-channel slice when
+        the field was declared in ``neighbor_fields`` (or is x/y), else a
+        gather fallback."""
+        path = FIELD_ALIASES.get(path, path)
+        ch = self.payload_channels.get(path)
+        if ch is not None and self.neighbor_payload is not None:
+            return self.neighbor_payload[:, ch]
+        return self.gather(path)
 
     # -- input shortcuts (Mouse statics / Keyboard proxy) --
     @property
@@ -287,6 +311,7 @@ def run_logic_phase(
     inputs: InputState,
     cfg: EngineConfig,
     type_ranges: Sequence[Tuple[type, int, int]],
+    payload_channels: Optional[Dict[str, int]] = None,
 ) -> World:
     """Run each registered class's tick over its slot range, masked by
     ``active`` (logic workers only tick active entities,
@@ -309,14 +334,21 @@ def run_logic_phase(
         ids = nbr.ids[start : start + count]
         d2 = nbr.d2[start : start + count]
         cnt = nbr.count[start : start + count]
+        has_payload = nbr.payload.data.shape[-1] > 0
+        payload = (
+            nbr.payload.data[start : start + count]
+            if has_payload else jnp.zeros((count, ids.shape[1], 0), jnp.float32)
+        )
 
-        def one(i, ids_row, d2_row, cnt_i):
+        def one(i, ids_row, d2_row, cnt_i, payload_row):
             ctx = TickCtx(i, world, ids_row, d2_row, cnt_i, inputs,
-                          jnp.float32(cfg.dt_ratio), cfg)
+                          jnp.float32(cfg.dt_ratio), cfg,
+                          neighbor_payload=payload_row if has_payload else None,
+                          payload_channels=payload_channels)
             out = tick_fn(ctx)
             return out if out is not None else {}
 
-        outs = jax.vmap(one)(idx, ids, d2, cnt)  # dict of [count] arrays
+        outs = jax.vmap(one)(idx, ids, d2, cnt, payload)  # dict of [count] arrays
         active_slice = jax.lax.dynamic_slice_in_dim(
             world.transform.active, start, count, 0
         )

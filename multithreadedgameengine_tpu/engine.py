@@ -532,7 +532,21 @@ class Engine:
             update_particle_visibility,
         )
         from .ops.particles import update_particles
-        from .ops.spatial import NeighborLists
+        from .ops.spatial import NeighborLists, NeighborPayload
+
+        # union of declared per-neighbor field paths across ticking classes:
+        # these ride the neighbor table as payload channels (0=id, 1=x, 2=y)
+        declared: List[str] = []
+        for reg in self.classes.values():
+            if reg.count > 0:
+                for p in getattr(reg.cls, "neighbor_fields", ()):
+                    p = FIELD_ALIASES.get(p, p)
+                    if p not in declared:
+                        declared.append(p)
+        payload_channels = {"transform.x": 1, "transform.y": 2}
+        extra_paths = [p for p in declared if p not in payload_channels]
+        for k, p in enumerate(extra_paths):
+            payload_channels[p] = 3 + k
 
         has_particles = cfg.particle.max_particles > 0
         decals_on = has_particles and cfg.particle.decals
@@ -556,7 +570,10 @@ class Engine:
             world = write_inputs(world, inputs)
             t, c = world.transform, world.collider
             if need_neighbors:
-                nbr = neighbor_lists(t.x, t.y, t.active, c.visual_range, cfg)
+                extras = tuple(read_field(world, p) for p in extra_paths)
+                nbr = neighbor_lists(
+                    t.x, t.y, t.active, c.visual_range, cfg, extras
+                )
             else:
                 # no tick reads neighbors and the grid solver handles
                 # collisions: skip the candidate build entirely
@@ -565,8 +582,13 @@ class Engine:
                     d2=jnp.zeros((n, 1), jnp.float32),
                     count=jnp.zeros((n,), jnp.int32),
                     n_binned=jnp.int32(-1),
+                    payload=NeighborPayload(
+                        data=jnp.zeros((n, 1, 0), jnp.float32)
+                    ),
                 )
-            world = run_logic_phase(world, nbr, inputs, cfg, type_ranges)
+            world = run_logic_phase(
+                world, nbr, inputs, cfg, type_ranges, payload_channels
+            )
             world = advance_animation(world, frame_counts, cfg.dt_ratio)
             world = physics_step(
                 world,

@@ -57,17 +57,21 @@ class FlockAux:
 
 def flocking_forces(ctx: TickCtx) -> tuple:
     """applyFlockingBehaviors (boid.js:137-240): returns (ax, ay, aux) —
-    the cohesion + alignment + separation acceleration contributions."""
+    the cohesion + alignment + separation acceleration contributions.
+    Per-neighbor reads go through payload channels (see Boid.neighbor_fields)
+    — free slices of the neighbor table rather than random gathers."""
     fl = lambda name: ctx.field(f"flocking.{name}")
-    w = ctx.world
-    j = ctx.neighbor_ids_safe
     live = ctx.neighbor_mask
 
-    ntype = w.transform.entity_type[j]
+    ntype = ctx.neighbor_col("transform.entity_type").astype(jnp.int32)
     not_mouse = live & (ntype != MOUSE_ENTITY_TYPE)  # boid.js:180 skip mouse
 
-    dx = w.transform.x[j] - ctx.x
-    dy = w.transform.y[j] - ctx.y
+    nx = ctx.neighbor_col("transform.x")
+    ny = ctx.neighbor_col("transform.y")
+    nvx = ctx.neighbor_col("rigid_body.vx")
+    nvy = ctx.neighbor_col("rigid_body.vy")
+    dx = nx - ctx.x
+    dy = ny - ctx.y
     d2 = ctx.neighbor_d2  # spatial worker's precomputed d² (boid.js:185)
 
     prot2 = fl("protected_range") ** 2
@@ -83,10 +87,10 @@ def flocking_forces(ctx: TickCtx) -> tuple:
     same = rest & (ntype == ctx.entity_type)
     same_n = jnp.sum(same)
 
-    center_x = jnp.sum(jnp.where(same, w.transform.x[j], 0.0))
-    center_y = jnp.sum(jnp.where(same, w.transform.y[j], 0.0))
-    avg_vx = jnp.sum(jnp.where(same, w.rigid_body.vx[j], 0.0))
-    avg_vy = jnp.sum(jnp.where(same, w.rigid_body.vy[j], 0.0))
+    center_x = jnp.sum(jnp.where(same, nx, 0.0))
+    center_y = jnp.sum(jnp.where(same, ny, 0.0))
+    avg_vx = jnp.sum(jnp.where(same, nvx, 0.0))
+    avg_vy = jnp.sum(jnp.where(same, nvy, 0.0))
 
     dt = ctx.dt_ratio
     inv_n = jnp.where(same_n > 0, 1.0 / jnp.maximum(same_n, 1), 0.0)
@@ -146,6 +150,12 @@ class Boid(EntityClass):
     """boid.js — base flocking entity."""
 
     components = [RigidBody, Collider, SpriteRenderer, Flocking, ShadowCaster]
+    # per-neighbor fields the flocking pass reads: ride the neighbor table as
+    # payload channels (x/y are always channels 1-2)
+    neighbor_fields = (
+        "transform.x", "transform.y",
+        "rigid_body.vx", "rigid_body.vy", "transform.entity_type",
+    )
 
     @classmethod
     def setup(cls, ctx):

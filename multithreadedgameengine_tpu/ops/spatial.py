@@ -78,6 +78,7 @@ def bin_entities(
     geom: GridGeom,
     payload: jnp.ndarray = None,
     build_table: bool = True,
+    table_values: jnp.ndarray = None,
 ) -> BinTable:
     """Clamped truncation cell assignment (spatial_worker.js:157-161) +
     stable argsort by cell + within-cell rank + table scatter.
@@ -85,6 +86,10 @@ def bin_entities(
     ``payload``: optional int32[N] of per-entity bits (< 128) packed into the
     table entries' bits 24+ alongside the id (bits 0-23) — consumers get
     per-candidate flags for free with the id gather. Requires N < 2^24.
+
+    ``table_values``: optional f32[N, F] rows to scatter instead of int ids —
+    the table becomes f32[cells+1, capacity, F] with channel 0 acting as the
+    id (-1 in empty slots). Mutually exclusive with ``payload``.
 
     ``build_table=False`` skips the [cells, capacity] table (consumers that
     scatter their own payloads — the grid physics solver — only need
@@ -112,13 +117,23 @@ def bin_entities(
     if build_table:
         table_rows = jnp.where(sorted_cid < cells, sorted_cid, cells + 1)
         table_cols = jnp.where(rank_sorted < geom.capacity, rank_sorted, geom.capacity)
-        values = order if payload is None else order | (payload[order] << 24)
-        table = (
-            jnp.full((cells + 1, geom.capacity), -1, jnp.int32)
-            .at[table_rows, table_cols]
-            .set(values, mode="drop")
-        )
-        n_binned = jnp.sum(table >= 0, dtype=jnp.int32)
+        if table_values is not None:
+            base = jnp.zeros(
+                (cells + 1, geom.capacity, table_values.shape[1]), jnp.float32
+            )
+            base = base.at[:, :, 0].set(-1.0)  # empty: id channel = -1
+            table = base.at[table_rows, table_cols].set(
+                table_values[order], mode="drop"
+            )
+            n_binned = jnp.sum(table[..., 0] >= 0, dtype=jnp.int32)
+        else:
+            values = order if payload is None else order | (payload[order] << 24)
+            table = (
+                jnp.full((cells + 1, geom.capacity), -1, jnp.int32)
+                .at[table_rows, table_cols]
+                .set(values, mode="drop")
+            )
+            n_binned = jnp.sum(table >= 0, dtype=jnp.int32)
     else:
         table = jnp.full((1, geom.capacity), -1, jnp.int32)
         n_binned = jnp.sum(
@@ -131,6 +146,21 @@ def bin_entities(
         table=table, cell_id=cell_id, rank=rank, row=row, col=col,
         n_binned=n_binned,
     )
+
+
+@struct.dataclass
+class NeighborPayload:
+    """Per-candidate field channels gathered FOR FREE with the table rows.
+
+    On TPU, gather cost is per-index: widening the neighbor table from ids to
+    [id, x, y, *tick_fields] rows makes every per-candidate attribute read
+    (the reference's direct SoA reads in hot loops, boid.js:137-240) come out
+    of ONE [N, B] row-gather instead of per-field [N, S] random gathers —
+    the difference between 1.2 s and tens of ms per step on the predators
+    scene. ``data``: f32[N, S, F]; channel order is fixed by the caller
+    (engine: id, x, y, then each class's declared ``neighbor_fields``)."""
+
+    data: jnp.ndarray  # f32[N, S, F]
 
 
 @struct.dataclass
@@ -152,6 +182,8 @@ class NeighborLists:
     # diagnostics: how many active entities made it into the grid table
     # (n_active - n_binned = cell-capacity overflow drops)
     n_binned: jnp.ndarray  # int32 scalar
+    # optional packed per-candidate fields ([N, S, 0] when unused)
+    payload: NeighborPayload
 
 
 def cell_coords(
@@ -185,9 +217,17 @@ def neighbor_lists_grid(
     active: jnp.ndarray,
     visual_range: jnp.ndarray,
     cfg: EngineConfig,
+    extra_fields: Tuple[jnp.ndarray, ...] = (),
 ) -> NeighborLists:
-    """Hash-grid neighbor search (the sort-and-bin kernel)."""
+    """Hash-grid neighbor search (the sort-and-bin kernel).
+
+    ``extra_fields``: per-entity [N] arrays whose per-candidate values ride
+    the table rows (channels 3..) — see NeighborPayload. Channels 0-2 are
+    always (id, x, y); distances come from the payload, so the whole search
+    costs ONE [N, B] row-gather regardless of how many fields ticks read."""
     n = x.shape[0]
+    if n >= (1 << 24):
+        raise ValueError("neighbor table packs ids into f32: N must be < 2^24")
     sp = cfg.spatial
     cells = cfg.total_cells
     cols, rows_n = cfg.grid_cols, cfg.grid_rows
@@ -198,8 +238,13 @@ def neighbor_lists_grid(
 
     finite = jnp.isfinite(x) & jnp.isfinite(y)
     valid_entity = active & finite  # NaN guard (spatial_worker.js:152-153)
-    bins = bin_entities(x, y, valid_entity, geom)
     arange_n = jnp.arange(n, dtype=jnp.int32)
+    rows_vals = jnp.stack(
+        [arange_n.astype(jnp.float32), x, y]
+        + [jnp.asarray(f, jnp.float32) for f in extra_fields],
+        axis=1,
+    )
+    bins = bin_entities(x, y, valid_entity, geom, table_values=rows_vals)
 
     # --- candidate gather over the (2R+1)^2 neighborhood, row-major ---
     offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
@@ -211,13 +256,14 @@ def neighbor_lists_grid(
         (cand_row >= 0) & (cand_row < rows_n) & (cand_col >= 0) & (cand_col < cols)
     )
     cand_cell = jnp.where(in_bounds, cand_row * cols + cand_col, cells)
-    cand = bins.table[cand_cell].reshape(n, -1)  # [N, B*cap]
+    flat = bins.table[cand_cell]  # [N, B, cap, F] — one row-gather
+    flat = flat.reshape(n, -1, flat.shape[-1])  # [N, S, F]
+    cand = flat[..., 0].astype(jnp.int32)
     n_binned = bins.n_binned
 
     # --- exact distance test: 0 < d² < visual_range² (spatial_worker.js:257) ---
-    cand_safe = jnp.maximum(cand, 0)
-    dx = x[cand_safe] - x[:, None]
-    dy = y[cand_safe] - y[:, None]
+    dx = flat[..., 1] - x[:, None]
+    dy = flat[..., 2] - y[:, None]
     d2 = dx * dx + dy * dy
     vr2 = (visual_range * visual_range)[:, None]
     valid = (
@@ -229,7 +275,10 @@ def neighbor_lists_grid(
     )
 
     ids, d2_out, count = _cap_first_k(cand, d2, valid, sp.max_neighbors)
-    return NeighborLists(ids=ids, d2=d2_out, count=count, n_binned=n_binned)
+    return NeighborLists(
+        ids=ids, d2=d2_out, count=count, n_binned=n_binned,
+        payload=NeighborPayload(data=flat),
+    )
 
 
 def neighbor_lists_bruteforce(
@@ -238,6 +287,7 @@ def neighbor_lists_bruteforce(
     active: jnp.ndarray,
     visual_range: jnp.ndarray,
     cfg: EngineConfig,
+    extra_fields: Tuple[jnp.ndarray, ...] = (),
 ) -> NeighborLists:
     """O(N²) oracle with identical acceptance semantics (candidate order is
     ascending entity index rather than the grid's cell-scan order; the
@@ -259,9 +309,18 @@ def neighbor_lists_bruteforce(
     )
     cand = jnp.broadcast_to(arange_n[None, :], (n, n))
     ids, d2_out, count = _cap_first_k(cand, d2, valid, cfg.spatial.max_neighbors)
+    # every entity is a candidate of every other: payload rows in id order,
+    # with inactive ids marked -1 to mirror the grid table's empty slots
+    rows_vals = jnp.stack(
+        [jnp.where(valid_entity, arange_n, -1).astype(jnp.float32), x, y]
+        + [jnp.asarray(f, jnp.float32) for f in extra_fields],
+        axis=1,
+    )
+    flat = jnp.broadcast_to(rows_vals[None, :, :], (n, n, rows_vals.shape[1]))
     return NeighborLists(
         ids=ids, d2=d2_out, count=count,
         n_binned=jnp.sum(valid_entity, dtype=jnp.int32),
+        payload=NeighborPayload(data=flat),
     )
 
 
@@ -271,7 +330,10 @@ def neighbor_lists(
     active: jnp.ndarray,
     visual_range: jnp.ndarray,
     cfg: EngineConfig,
+    extra_fields: Tuple[jnp.ndarray, ...] = (),
 ) -> NeighborLists:
     if cfg.spatial.method == "bruteforce":
-        return neighbor_lists_bruteforce(x, y, active, visual_range, cfg)
-    return neighbor_lists_grid(x, y, active, visual_range, cfg)
+        return neighbor_lists_bruteforce(
+            x, y, active, visual_range, cfg, extra_fields
+        )
+    return neighbor_lists_grid(x, y, active, visual_range, cfg, extra_fields)
