@@ -387,6 +387,26 @@ class Engine:
                 return reg
         raise IndexError(index)
 
+    def reconcile_pools(self) -> int:
+        """Sync host free lists with device-side despawns (ticks returning
+        {'despawn': True} flip active flags inside the step; the host pool
+        doesn't see them until reconciled — the analog of the reference's
+        worker-0-only spawn discipline keeping its free list coherent,
+        logic_worker.js:628-652). Returns the number of reclaimed slots.
+        Call periodically when any tick self-despawns."""
+        self._require_init()
+        self._flush_pending()
+        active = np.asarray(jax.device_get(self.world.transform.active))
+        reclaimed = 0
+        for reg in self.classes.values():
+            pool = reg.pool
+            tracked_free = set(pool.free)
+            for i in range(reg.start_index, reg.start_index + reg.count):
+                if not active[i] and i not in tracked_free:
+                    pool.release(i)
+                    reclaimed += 1
+        return reclaimed
+
     def get_pool_stats(self, class_name: str) -> Dict[str, int]:
         """getPoolStats (gameObject.js:957-999)."""
         reg = self.classes[class_name]
