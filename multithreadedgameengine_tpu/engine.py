@@ -854,7 +854,7 @@ class Engine:
     # snapshot / restore (SURVEY.md §5.4 — free because state is one pytree)
     # ------------------------------------------------------------------
     def snapshot(self):
-        jax.block_until_ready(self.world)
+        self._flush_pending()  # reflect queued spawns/despawns
         return jax.device_get(self.world)
 
     def restore(self, snap) -> None:
