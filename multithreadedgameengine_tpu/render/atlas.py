@@ -307,6 +307,29 @@ def create_big_atlas(
     return BigAtlas(image=canvas, frames=frames, json=tp_json)
 
 
+def animation_strip(
+    atlas: BigAtlas, sheet_name: str, meta: dict, anim: str, path: str
+) -> np.ndarray:
+    """Render one animation's frames side by side — the
+    spritesheet_stuff/animatedSpriteVisualizer.html analog for headless
+    preview. ``meta`` is the sheet's TexturePacker json."""
+    from .headless import write_png
+
+    frame_names = meta["animations"][anim]
+    cuts = [atlas.frame_image(f"{sheet_name}/{f}") for f in frame_names]
+    h = max(c.shape[0] for c in cuts)
+    w = sum(c.shape[1] for c in cuts)
+    strip = np.zeros((h, w, 3), np.uint8)
+    x = 0
+    for c in cuts:
+        rgb = c[..., :3].astype(np.float32)
+        a = c[..., 3:4].astype(np.float32) / 255.0
+        strip[: c.shape[0], x : x + c.shape[1]] = (rgb * a).astype(np.uint8)
+        x += c.shape[1]
+    write_png(path, strip)
+    return strip
+
+
 def inspect_atlas(atlas: BigAtlas, path: str) -> None:
     """BigAtlasInspector analog: dump the atlas with frame outlines."""
     from .headless import write_png
