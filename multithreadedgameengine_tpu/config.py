@@ -65,9 +65,10 @@ class PhysicsConfig:
     def validated(self) -> "PhysicsConfig":
         """Mirror of validatePhysicsConfig (utils.js:269-301), plus the
         TPU-only solver knob."""
-        if self.solver not in ("auto", "grid", "neighbors"):
+        if self.solver not in ("auto", "grid", "neighbors", "pallas"):
             raise ValueError(
-                f"physics.solver must be 'auto', 'grid' or 'neighbors', got {self.solver!r}"
+                "physics.solver must be 'auto', 'grid', 'neighbors' or "
+                f"'pallas', got {self.solver!r}"
             )
         return dataclasses.replace(
             self,

@@ -55,7 +55,9 @@ def _pair_hash_angle(i: jnp.ndarray, j: jnp.ndarray, salt: jnp.ndarray) -> jnp.n
     h = h ^ (h >> 15)
     h = h * jnp.uint32(0x2C1B3C6D)
     h = h ^ (h >> 12)
-    return (h.astype(jnp.float32) / jnp.float32(2**32)) * (2.0 * jnp.pi)
+    # top 24 bits -> [0, 1): int32-representable (Mosaic has no uint32->f32 cast)
+    frac = (h >> 8).astype(jnp.int32).astype(jnp.float32) / jnp.float32(1 << 24)
+    return frac * (2.0 * jnp.pi)
 
 
 def verlet_move(world: World, cfg: EngineConfig, dt_ratio: float) -> World:
@@ -321,7 +323,7 @@ def physics_step(
     """
     world = verlet_move(world, cfg, dt_ratio)
     use_grid = (
-        cfg.physics.solver in ("auto", "grid")
+        cfg.physics.solver in ("auto", "grid", "pallas")
         and solver_geom is not None
         and not cfg.logic.collision_events
     )

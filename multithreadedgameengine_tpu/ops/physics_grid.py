@@ -157,6 +157,24 @@ def grid_constraints(
     elasticity = ph.boundary_elasticity
     salt = world.step_count.astype(jnp.uint32)
 
+    use_pallas = cfg.physics.solver == "pallas"
+    if use_pallas:
+        from .pallas_kernels import pair_pass_pallas
+
+        attrs = grid[..., 4:7]  # radius, flags, gid channels
+        interp = jax.default_backend() != "tpu"
+        salt_u32 = world.step_count.astype(jnp.uint32)
+
+        def substep_pallas(_k, carry):
+            gx, gy, gpx, gpy, cnt = carry
+            gx, gpx = _boundary(gx, gpx, grad, cfg.world_width, g_moving, ph.boundary_elasticity)
+            gy, gpy = _boundary(gy, gpy, grad, cfg.world_height, g_moving, ph.boundary_elasticity)
+            dxg, dyg, cg = pair_pass_pallas(
+                gx, gy, attrs, salt_u32, geom,
+                float(ph.collision_response_strength), interpret=interp,
+            )
+            return (gx + dxg, gy + dyg, gpx, gpy, cnt + cg)
+
     center = (slice(1, R + 1), slice(1, C + 1))
     # full-shell 3x3 offsets: every ordered pair (i, j) is evaluated from i's
     # side exactly once (the self cell's i==j case is masked by id equality),
@@ -239,7 +257,9 @@ def grid_constraints(
         )
 
     init = (gx, gy, gpx, gpy, jnp.zeros(gx.shape, jnp.int32))
-    gx, gy, gpx, gpy, g_count = jax.lax.fori_loop(0, ph.sub_step_count, substep, init)
+    gx, gy, gpx, gpy, g_count = jax.lax.fori_loop(
+        0, ph.sub_step_count, substep_pallas if use_pallas else substep, init
+    )
 
     # --- read back: one [N]-row gather of the packed outputs ---
     binned = in_grid

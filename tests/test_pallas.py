@@ -1,0 +1,57 @@
+"""Pallas pair-pass kernel: interpret-mode equivalence against the XLA grid
+solver (bit-exact — same math, same order), across scene shapes. The TPU
+compile/run path was validated on hardware (1M entities: 455 → 339 ms for
+the 2-substep constraint pass vs the XLA formulation)."""
+
+import jax
+import numpy as np
+import pytest
+
+from multithreadedgameengine_tpu.ops.physics_grid import (
+    grid_constraints,
+    solver_geometry,
+)
+
+from golden_ref import GoldenState
+from test_physics import world_from_golden
+from test_physics_grid import make_cfg, random_scene
+
+
+def run_both(s, steps=1):
+    geom = solver_geometry(make_cfg("grid"), float(np.max(s.radius)))
+    wx = world_from_golden(s, make_cfg("grid"))
+    wp = world_from_golden(s, make_cfg("pallas"))
+    fx = jax.jit(lambda w: grid_constraints(w, make_cfg("grid"), geom)[0])
+    fp = jax.jit(lambda w: grid_constraints(w, make_cfg("pallas"), geom)[0])
+    for _ in range(steps):
+        wx = fx(wx)
+        wp = fp(wp)
+    return jax.device_get(wx), jax.device_get(wp)
+
+
+class TestPallasPairPass:
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_matches_xla_solver(self, seed):
+        wx, wp = run_both(random_scene(seed, n=70), steps=2)
+        np.testing.assert_array_equal(wx.transform.x, wp.transform.x)
+        np.testing.assert_array_equal(wx.transform.y, wp.transform.y)
+        np.testing.assert_array_equal(
+            wx.rigid_body.collision_count, wp.rigid_body.collision_count
+        )
+
+    def test_statics_triggers_and_world_edges(self):
+        s = GoldenState.of(
+            6,
+            x=[8.0, 20.0, 592.0, 300.0, 308.0, 300.0],
+            y=[8.0, 8.0, 392.0, 200.0, 200.0, 208.0],
+            radius=[6.0, 6.0, 6.0, 6.0, 6.0, 6.0],
+            static=[False, True, False, False, False, False],
+            is_trigger=[False, False, False, False, True, False],
+        )
+        s.px[:] = s.x
+        s.py[:] = s.y
+        wx, wp = run_both(s)
+        np.testing.assert_array_equal(wx.transform.x, wp.transform.x)
+        np.testing.assert_array_equal(
+            wx.rigid_body.collision_count, wp.rigid_body.collision_count
+        )
