@@ -35,7 +35,6 @@ from .behavior import (
     SetupCtx,
     SpawnCtx,
     read_field,
-    resolve_field,
     run_logic_phase,
     snake_case,
     write_field,
@@ -148,7 +147,6 @@ class Engine:
         self._step_fn = None
         self._step_n_fn = None
         self._pending_ops: List[Tuple[str, Any]] = []
-        self._resolved_cell_radius: Optional[int] = None
         # largest collider radius ever written host-side: sizes the grid
         # solver's geometry; a larger later spawn forces a step rebuild
         self._max_radius = 0.0

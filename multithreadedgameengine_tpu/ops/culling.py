@@ -14,8 +14,6 @@ path and the onScreenEnter/Exit transitions (logic_worker.js:534-554).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 
 from ..config import EngineConfig

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import time
 from collections import deque
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 class StepTimer:
@@ -76,7 +76,6 @@ class PhaseProfiler:
         fused step overlap/fuse, so the sum is an upper bound on the real
         step time; per-phase ratios locate hot spots."""
         import jax
-        import jax.numpy as jnp
 
         eng = self._engine
         eng._require_init()
@@ -88,7 +87,7 @@ class PhaseProfiler:
         inputs = eng.input.snapshot()
 
         from .behavior import run_logic_phase
-        from .ops.physics import physics_step, update_derived, verlet_move
+        from .ops.physics import update_derived, verlet_move
         from .ops.spatial import neighbor_lists
 
         type_ranges = tuple(

@@ -23,7 +23,6 @@ import io
 import json
 import struct
 import threading
-import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Optional
@@ -40,9 +39,6 @@ def encode_frame(engine, max_visible: int = 20000) -> bytes:
     pkt = engine.render_packet(max_visible)
     w = engine.world
     count = int(pkt.count)
-
-    def f32(a):
-        return np.asarray(a[:count], np.float32).tobytes()
 
     out = io.BytesIO()
     # entities
@@ -145,14 +141,12 @@ class RenderServer:
             from ..render.headless import write_png
 
             canvas = np.asarray(jax.device_get(self.engine.world.decal_canvas))
-            rgb = canvas[..., :3]
-            buf = io.BytesIO()
-            # reuse the PNG encoder via a temp path-free shim
-            import tempfile, os
+            import os
+            import tempfile
 
             with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
                 tmp = f.name
-            write_png(tmp, rgb)
+            write_png(tmp, canvas[..., :3])
             with open(tmp, "rb") as f:
                 png = f.read()
             os.unlink(tmp)
