@@ -18,11 +18,18 @@ def run(n: int, complexity: int) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from multithreadedgameengine_tpu import Engine, EntityClass, RigidBody, make_config
+    from multithreadedgameengine_tpu import Collider, Engine, EntityClass, RigidBody, make_config
 
     class Worker(EntityClass):
-        components = [RigidBody]
+        components = [RigidBody, Collider]
         uses_neighbors = False
+
+        @classmethod
+        def setup(cls, ctx):
+            # a known radius lets the engine resolve the grid solver geometry
+            # and skip neighbor-list building entirely (colliders stay
+            # inactive — this harness measures the LOGIC phase)
+            return {"collider.radius": 40.0}
 
         @staticmethod
         def tick(ctx):

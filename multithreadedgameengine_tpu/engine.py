@@ -841,6 +841,16 @@ class Engine:
     def resume(self) -> None:
         self.paused = False
 
+    def destroy(self) -> None:
+        """Release device state and compiled programs (gameEngine.destroy,
+        :1585-1639 — there are no workers to terminate; dropping the pytree
+        frees HBM)."""
+        self.world = None
+        self._step_fn = None
+        self._step_n_fn = None
+        self._emission_fn = None
+        self._initialized = False
+
     def update_physics_config(self, **kwargs) -> None:
         """Live physics updates: ``engine.update_physics_config(gravity=(0, 1))``
         — the physics Proxy analog. Triggers a re-jit (config is static)."""
