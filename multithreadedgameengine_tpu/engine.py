@@ -306,6 +306,10 @@ class Engine:
         reg = self.classes[class_name]
         i = reg.pool.claim()
         if i is None:
+            self.timeline.log(
+                f"pool exhausted: no inactive {class_name} available "
+                f"(all {reg.count} active)"
+            )
             return None
 
         updates: Dict[str, Any] = {}
@@ -651,6 +655,14 @@ class Engine:
                 "collision_pair_count": world.collision_pair_count,
                 "n_binned": nbr.n_binned,
                 "active_particles": p_active,
+                # NaN/explosion guard (SURVEY.md §5.3): active entities with
+                # non-finite positions (the spatial pass already drops them
+                # from the grid, matching spatial_worker.js:152-153)
+                "nonfinite_count": jnp.sum(
+                    world.transform.active
+                    & ~(jnp.isfinite(world.transform.x) & jnp.isfinite(world.transform.y)),
+                    dtype=jnp.int32,
+                ),
             }
             return world, metrics
 
@@ -660,6 +672,7 @@ class Engine:
                 "collision_pair_count": jnp.int32(0),
                 "n_binned": jnp.int32(0),
                 "active_particles": jnp.int32(0),
+                "nonfinite_count": jnp.int32(0),
             }
 
             def body(_i, carry):
@@ -687,7 +700,8 @@ class Engine:
         self._require_init()
         if self.paused or n <= 0:
             return self.metrics
-        if self._step_fn is None:
+        compiled_now = self._step_fn is None
+        if compiled_now:
             self._build_step()
         self._flush_pending()
         self._flush_emissions()
@@ -701,8 +715,12 @@ class Engine:
             )
         if block or self._profiling:
             self.sync()
-        # moving-average step timing (dispatch-only unless blocking/profiling)
-        self.timer.record((time.time() - t0) / n, n)
+        # moving-average step timing (dispatch-only unless blocking/profiling);
+        # calls that just compiled would poison the average — skip them
+        if not compiled_now:
+            self.timer.record((time.time() - t0) / n, n)
+        else:
+            self.timer.total_steps += n
         self.metrics = metrics
         if self.config.logic.collision_events:
             self._dispatch_collision_events()

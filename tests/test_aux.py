@@ -28,7 +28,8 @@ class TestStats:
         for _ in range(10):
             eng.spawn("Ball", x=eng.rng() * 800.0, y=eng.rng() * 600.0)
         eng.enable_profiling(True)
-        eng.step(5)
+        eng.step(3)  # compile call: timing sample skipped
+        eng.step(2)
         s = eng.stats()
         assert s["total_steps"] == 5
         assert s["steps_per_sec"] > 0
