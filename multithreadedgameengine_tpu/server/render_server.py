@@ -179,6 +179,12 @@ class RenderServer:
                 inp.key_up(key)
             except KeyError:
                 pass
+        for name in data.get("debug_toggle", []):
+            # the demos' 1-5/0 debug shortcuts (balls index.html:192-206)
+            if name == "all_off":
+                self.engine.debug.disable_all()
+            elif name in self.engine.debug.flags:
+                self.engine.debug.flags[name] = not self.engine.debug.flags[name]
 
     def _make_handler(self):
         server = self
