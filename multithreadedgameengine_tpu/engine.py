@@ -497,10 +497,7 @@ class Engine:
         # constraint-solver backend + whether per-entity neighbor lists are
         # needed at all (ticks that read them, collision events, or the
         # neighbor-list solver)
-        use_grid_solver = (
-            cfg.physics.solver in ("auto", "grid")
-            and not cfg.logic.collision_events
-        )
+        use_grid_solver = cfg.physics.solver in ("auto", "grid", "pallas")
         shadows_on = cfg.lighting.enabled and cfg.lighting.shadows_enabled
         need_neighbors = (
             cfg.logic.collision_events
@@ -565,6 +562,11 @@ class Engine:
                     p = FIELD_ALIASES.get(p, p)
                     if p not in declared:
                         declared.append(p)
+        if cfg.logic.collision_events:
+            # pair recording reads these from the payload (zero gathers)
+            for p in ("collider.radius", "collider.active"):
+                if p not in declared:
+                    declared.append(p)
         payload_channels = {"transform.x": 1, "transform.y": 2}
         extra_paths = [p for p in declared if p not in payload_channels]
         for k, p in enumerate(extra_paths):
@@ -619,6 +621,26 @@ class Engine:
                 cfg.dt_ratio,
                 solver_geom=solver_geom,
             )
+            # collision-pair recording for Enter/Stay/Exit callbacks:
+            # evaluated from the spatial pass's payload (frame-start
+            # positions/d2) — the same one-frame-stale pair set the
+            # reference's logic workers consume (logic_worker.js:429-443)
+            if cfg.logic.collision_events:
+                from .ops.physics import record_collision_pairs
+
+                pay = nbr.payload.data
+                r_j = pay[..., payload_channels["collider.radius"]]
+                coll_j = pay[..., payload_channels["collider.active"]] > 0
+                t2, c2 = world.transform, world.collider
+                ok = (
+                    (t2.active & c2.active)[:, None]
+                    & (nbr.ids >= 0)
+                    & coll_j
+                )
+                min_d = c2.radius[:, None] + r_j
+                rec = ok & (nbr.d2 < min_d * min_d)
+                world = record_collision_pairs(world, nbr, rec, cfg)
+
             # particle pool + decals (particle_worker phases, SURVEY.md §2.3)
             p_active = jnp.int32(-1)
             if has_particles:

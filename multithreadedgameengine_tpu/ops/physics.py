@@ -325,7 +325,6 @@ def physics_step(
     use_grid = (
         cfg.physics.solver in ("auto", "grid", "pallas")
         and solver_geom is not None
-        and not cfg.logic.collision_events
     )
     if use_grid:
         from .physics_grid import grid_constraints
@@ -335,10 +334,14 @@ def physics_step(
         if nbr is None:
             raise ValueError(
                 "neighbor-list solver requires neighbor lists "
-                "(cfg.physics.solver='neighbors' or collision events enabled)"
+                "(cfg.physics.solver='neighbors')"
             )
-        world, overlap = apply_constraints(world, nbr, cfg)
-        if cfg.logic.collision_events:
-            world = record_collision_pairs(world, nbr, overlap, cfg)
+        world, _overlap = apply_constraints(world, nbr, cfg)
     world = update_derived(world, cfg)
+    # NOTE: collision-pair recording for Enter/Stay/Exit callbacks lives in
+    # the engine's step (record_collision_pairs over the spatial payload) —
+    # evaluated at frame-start positions, matching the one-frame-stale pairs
+    # the reference's logic workers actually consume (the physics worker
+    # writes collisionData that logic reads on ITS next frame,
+    # logic_worker.js:429-443).
     return world

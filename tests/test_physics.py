@@ -275,20 +275,36 @@ class TestDerived:
 
 
 class TestPairRecording:
-    def test_collision_pairs_recorded(self):
-        cfg = make_config(
+    def test_collision_pairs_recorded_via_engine(self):
+        """Pair recording happens in the engine step from the spatial
+        payload (frame-start positions — the one-frame-stale pair set the
+        reference's logic workers consume)."""
+        from multithreadedgameengine_tpu import Collider, Engine, EntityClass, RigidBody
+
+        class Blob(EntityClass):
+            components = [RigidBody, Collider]
+            uses_neighbors = False
+
+            @classmethod
+            def setup(cls, ctx):
+                return {"collider.radius": 6.0, "collider.visual_range": 50.0}
+
+        eng = Engine(make_config(
             world_width=1000.0, world_height=800.0,
-            spatial=dict(max_neighbors=16, method="bruteforce"),
             physics=dict(gravity=(0.0, 0.0), sub_step_count=1,
                          collision_response_strength=0.0,
                          max_collision_pairs=8),
             logic=dict(collision_events=True),
-        )
-        s = GoldenState.of(4, x=[100.0, 105.0, 300.0, 700.0],
-                           y=[100.0, 100.0, 300.0, 700.0],
-                           px=[100.0, 105.0, 300.0, 700.0],
-                           py=[100.0, 100.0, 300.0, 700.0],
-                           radius=[6.0, 6.0, 6.0, 6.0])
-        w = run_kernel(s, cfg)
-        assert int(w.collision_pair_count) == 1
-        assert list(w.collision_pairs[0]) == [0, 1]
+        ))
+        eng.register_entity_class(Blob, 4)
+        a = None
+        eng.init()
+        a = eng.spawn("Blob", x=100.0, y=100.0)
+        b = eng.spawn("Blob", x=105.0, y=100.0)
+        eng.spawn("Blob", x=300.0, y=300.0)
+        eng.spawn("Blob", x=700.0, y=700.0)
+        eng.step(2)  # second frame records pairs from settled positions
+        w = eng.snapshot()
+        assert int(w.collision_pair_count) >= 1
+        pairs = {tuple(p) for p in np.asarray(w.collision_pairs) if p[0] >= 0}
+        assert (min(a, b), max(a, b)) in pairs
