@@ -283,18 +283,32 @@ def update_derived(world: World, cfg: EngineConfig) -> World:
 def record_collision_pairs(
     world: World, nbr: NeighborLists, overlap: jnp.ndarray, cfg: EngineConfig
 ) -> World:
-    """Compact the final-substep overlap mask into the ``[max_pairs, 2]`` pair
-    table (collisionData SAB analog; pair-once ``i < j`` as in
-    physics_worker.js:444, :501-505, :554-559)."""
-    n, k = nbr.ids.shape
-    max_pairs = world.collision_pairs.shape[0]
-    i_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
-    j_idx = nbr.ids
-    rec = overlap & (j_idx > i_idx)  # record each pair once
+    """Compact the overlap mask into the ``[max_pairs, 2]`` pair table
+    (collisionData SAB analog; pair-once ``i < j`` as in
+    physics_worker.js:444, :501-505, :554-559).
 
-    flat_rec = rec.reshape(-1)
-    flat_i = i_idx.reshape(-1)
-    flat_j = j_idx.reshape(-1)
+    Two-stage compaction: scattering the full [N, S] mask costs per-SOURCE
+    index on TPU (hundreds of ms at flocking scale), so each entity's pairs
+    are first squeezed to its top ``PER_ENTITY`` slots with top_k, and only
+    the [N × PER_ENTITY] survivor set feeds the global cumsum+scatter. More
+    than PER_ENTITY simultaneous new partners per entity drops the excess —
+    the reference drops pairs past maxCollisionPairs globally the same way."""
+    PER_ENTITY = 16
+    n, s = nbr.ids.shape
+    max_pairs = world.collision_pairs.shape[0]
+    i_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, s))
+    rec = overlap & (nbr.ids > i_idx)  # record each pair once
+
+    p = min(PER_ENTITY, s)
+    v, sel = jax.lax.top_k(rec.astype(jnp.int32), p)  # [N, p]
+    j_top = jnp.take_along_axis(nbr.ids, sel, axis=1)
+    rec_top = v > 0
+
+    flat_rec = rec_top.reshape(-1)
+    flat_i = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, p)
+    ).reshape(-1)
+    flat_j = j_top.reshape(-1)
     rank = jnp.cumsum(flat_rec.astype(jnp.int32)) - 1
     dest = jnp.where(flat_rec & (rank < max_pairs), rank, max_pairs)
     pairs = jnp.full((max_pairs, 2), -1, jnp.int32)
