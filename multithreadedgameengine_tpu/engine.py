@@ -355,6 +355,95 @@ class Engine:
                 if self._step_fn is not None and r > self._solver_radius_bound:
                     self._step_fn = None  # re-derive solver geometry
 
+    def spawn_batch(
+        self, class_name: str, count: int, call_on_spawned: bool = True,
+        **field_arrays,
+    ) -> np.ndarray:
+        """Bulk spawn: claims ``count`` pool slots and applies resets +
+        per-field arrays in ONE set of device scatters — the fast path for
+        scene construction at scale (1M single spawn() calls cost minutes of
+        Python; this costs milliseconds). ``field_arrays`` values are scalars
+        or [count] arrays keyed like spawn_config. ``on_spawned`` still runs
+        per entity when the class overrides it (its per-entity dict outputs
+        are collected columnarly); pass ``call_on_spawned=False`` and supply
+        every field yourself for pure-vectorized construction at 1M scale.
+        Returns the claimed indices (fewer than requested on exhaustion)."""
+        self._require_init()
+        self._flush_pending()  # keep op ordering w.r.t. queued singles
+        reg = self.classes[class_name]
+        indices = []
+        for _ in range(count):
+            i = reg.pool.claim()
+            if i is None:
+                self.timeline.log(
+                    f"pool exhausted during spawn_batch({class_name}): "
+                    f"claimed {len(indices)} of {count}"
+                )
+                break
+            indices.append(i)
+        n = len(indices)
+        if n == 0:
+            return np.empty((0,), np.int32)
+        idx = np.asarray(indices, np.int32)
+
+        columns: Dict[str, np.ndarray] = {}
+
+        def put(path: str, value) -> None:
+            arr = np.asarray(value)
+            columns[path] = (
+                np.broadcast_to(arr, (n,)).copy() if arr.ndim == 0 else arr[:n]
+            )
+
+        for comp_path in reg.component_paths:
+            for field, value in self._SPAWN_RESETS.get(comp_path, {}).items():
+                put(f"{comp_path}.{field}", value)
+        for key, value in field_arrays.items():
+            path = FIELD_ALIASES.get(key, key)
+            if "." not in path:
+                raise KeyError(f"unknown spawn property {key!r}")
+            put(path, value)
+
+        if call_on_spawned and (
+            reg.cls.on_spawned.__func__ is not EntityClass.on_spawned.__func__
+        ):
+            extra_cols: Dict[str, list] = {}
+            for k in range(n):
+                cfg_k = {
+                    key: (np.asarray(v).item() if np.asarray(v).ndim == 0 else v[k])
+                    for key, v in field_arrays.items()
+                }
+                ctx = SpawnCtx(self.config, int(idx[k]), self.rng, self.sprites)
+                out = reg.cls.on_spawned(ctx, cfg_k) or {}
+                for key, v in out.items():
+                    extra_cols.setdefault(FIELD_ALIASES.get(key, key), [None] * n)[k] = v
+            for path, vals in extra_cols.items():
+                base = columns.get(path)
+                merged = np.asarray(
+                    [v if v is not None else (base[k] if base is not None else 0)
+                     for k, v in enumerate(vals)]
+                )
+                columns[path] = merged
+            self._track_radius(columns)
+
+        if "rigid_body" in reg.component_paths:
+            x = columns.get("transform.x", np.zeros(n))
+            y = columns.get("transform.y", np.zeros(n))
+            vx = columns.get("rigid_body.vx", np.zeros(n))
+            vy = columns.get("rigid_body.vy", np.zeros(n))
+            columns["rigid_body.px"] = np.asarray(x, np.float64) - np.asarray(vx, np.float64)
+            columns["rigid_body.py"] = np.asarray(y, np.float64) - np.asarray(vy, np.float64)
+        columns["transform.active"] = np.ones(n, bool)
+        self._track_radius(columns)
+
+        world = self.world
+        for path, vals in columns.items():
+            arr = read_field(world, path)
+            world = write_field(
+                world, path, arr.at[idx].set(jnp.asarray(vals, arr.dtype))
+            )
+        self.world = world
+        return idx
+
     def despawn(self, index: int) -> None:
         """Despawn by index (gameObject.js:668-691)."""
         self._require_init()

@@ -226,3 +226,44 @@ class TestTick:
         w = eng.snapshot()
         assert float(w.transform.x[0]) == 123.0
         assert float(w.transform.y[0]) == 45.0
+
+
+class TestSpawnBatch:
+    def test_batch_matches_loop_bitwise(self):
+        """spawn_batch must replay the exact loop semantics (same seeded
+        draws, same resets, same px/py sync)."""
+        def build(batch):
+            eng = small_engine(n=50, seed=31)
+            xs = [eng.rng() * 1000.0 for _ in range(30)]
+            ys = [eng.rng() * 800.0 for _ in range(30)]
+            if batch:
+                eng.spawn_batch("Ball", 30, x=np.asarray(xs), y=np.asarray(ys))
+            else:
+                for k in range(30):
+                    eng.spawn("Ball", x=xs[k], y=ys[k])
+            eng.step(5)
+            return eng.snapshot()
+
+        a, b = build(False), build(True)
+        np.testing.assert_array_equal(a.transform.x, b.transform.x)
+        np.testing.assert_array_equal(a.collider.radius, b.collider.radius)
+        np.testing.assert_array_equal(a.sprite.tint, b.sprite.tint)
+
+    def test_batch_without_hooks(self):
+        eng = small_engine(n=20, seed=2)
+        idx = eng.spawn_batch(
+            "Ball", 10, call_on_spawned=False,
+            x=np.linspace(100, 900, 10), y=50.0,
+            **{"collider.radius": 12.0},
+        )
+        assert len(idx) == 10
+        eng.step(1)
+        w = eng.snapshot()
+        assert np.asarray(w.transform.active)[idx].all()
+        np.testing.assert_allclose(np.asarray(w.collider.radius)[idx], 12.0)
+
+    def test_batch_pool_exhaustion(self):
+        eng = small_engine(n=5, seed=2)
+        idx = eng.spawn_batch("Ball", 9, x=1.0, y=1.0)
+        assert len(idx) == 5
+        assert eng.get_pool_stats("Ball")["available"] == 0
