@@ -615,6 +615,20 @@ class Engine:
             )
             if solver_geom is None:
                 need_neighbors = True  # no radii known: neighbor solver
+            elif cfg.physics.solver == "auto" and jax.default_backend() == "tpu":
+                # the Pallas pair kernel outruns the XLA formulation whenever
+                # its halo-tile scratch fits the VMEM budget (10 buffers of
+                # [cap, tile+16, 128-padded cols] f32)
+                import math as _math
+
+                cp_pad = _math.ceil((solver_geom.cols + 2) / 128) * 128
+                vmem = 10 * solver_geom.capacity * 24 * cp_pad * 4
+                if vmem < 90 * 1024 * 1024:
+                    cfg = dataclasses.replace(
+                        cfg,
+                        physics=dataclasses.replace(cfg.physics, solver="pallas"),
+                    )
+                    self.config = cfg
 
         n = self.world.n_entities
 
