@@ -20,7 +20,11 @@ TPU-native translation:
  - ``tick`` returns a dict of ``"component.field" -> value`` self-writes (the
    analog of ``this.rigidBody.ax = ...``), plus the optional special keys
    ``"despawn"`` (bool — despawn self, gameObject.js:668-691) and
-   ``"emit"`` (particle emission request, wired in the particles round).
+   ``"emit"`` (device-side particle emission request — a dict of emit fields,
+   see EMIT_FIELDS; the analog of a tick calling ParticleEmitter.emit inline,
+   ParticleEmitter.js:78-173. Scalars emit identical particles; [emit_cap]
+   rows give per-particle variation; "count" bounds how many spawn, clipped
+   to the class's ``emit_cap``).
 
 Field addressing uses World attribute paths: ``rigid_body.ax``, ``sprite.tint``,
 ``flocking.turn_factor`` (custom components are mounted under their snake-case
@@ -139,6 +143,12 @@ class EntityClass:
     #: flocking-scale neighbor counts. Undeclared paths still work through
     #: ctx.gather (slow path).
     neighbor_fields: Sequence[str] = ()
+
+    #: max particles one tick of this class may emit per frame via the
+    #: ``"emit"`` return key (static — sizes the device expansion buffer).
+    #: The reference has no cap (ParticleEmitter.js linear scan); a static
+    #: per-tick bound is the price of fixed shapes.
+    emit_cap: int = 1
 
     # populated by the engine at registration
     entity_type: int = -1
@@ -305,6 +315,70 @@ class TickCtx:
         return self.inputs.keys[key_index(name)]
 
 
+#: emit-request field -> (dtype, default). x/y default to the emitting
+#: entity's (pre-tick) position; the rest mirror the host emit() defaults
+#: (ParticleEmitter.js:29-77).
+EMIT_FIELDS: Dict[str, Tuple[Any, float]] = {
+    "x": (jnp.float32, None),
+    "y": (jnp.float32, None),
+    "z": (jnp.float32, 0.0),
+    "vx": (jnp.float32, 0.0),
+    "vy": (jnp.float32, 0.0),
+    "vz": (jnp.float32, 0.0),
+    "lifespan": (jnp.float32, 1000.0),
+    "gravity": (jnp.float32, 0.15),
+    "scale": (jnp.float32, 1.0),
+    "alpha": (jnp.float32, 1.0),
+    "tint": (jnp.uint32, 0xFFFFFF),
+    "texture_id": (jnp.int32, 0),
+    "fade_on_the_floor": (jnp.float32, 0.0),
+    "stay_on_the_floor": (jnp.bool_, False),
+}
+
+
+def _normalize_emit_request(
+    out_emit: Dict[str, jnp.ndarray],
+    klass: type,
+    start: int,
+    count: int,
+    world: World,
+    active_slice: jnp.ndarray,
+) -> Dict[str, Any]:
+    """Shape a vmapped ``"emit"`` tick output into a dense request block:
+    every field broadcast to [count, emit_cap] (a tick may return scalars —
+    all emitted particles share the value — or [emit_cap] rows for
+    per-particle variation), plus the per-slot validity mask
+    ``slot k live iff k < clip(count_i, 0, cap) and entity is active``."""
+    cap = max(1, int(getattr(klass, "emit_cap", 1)))
+    n_req = out_emit.get("count")
+    if n_req is None:
+        n_req = jnp.ones((count,), jnp.int32)
+    n_req = jnp.clip(jnp.asarray(n_req, jnp.int32), 0, cap)
+    valid = (
+        (jnp.arange(cap, dtype=jnp.int32)[None, :] < n_req[:, None])
+        & active_slice[:, None]
+    )
+    fields: Dict[str, jnp.ndarray] = {}
+    for key, (dtype, default) in EMIT_FIELDS.items():
+        v = out_emit.get(key)
+        if v is None:
+            if default is None:  # x / y -> pre-tick entity position
+                v = read_field(world, f"transform.{key}")[start : start + count]
+            else:
+                v = jnp.full((count,), default, dtype)
+        v = jnp.asarray(v, dtype)
+        if v.ndim == 1:
+            v = v[:, None]
+        fields[key] = jnp.broadcast_to(v, (count, cap))
+    unknown = set(out_emit) - set(EMIT_FIELDS) - {"count"}
+    if unknown:
+        raise KeyError(
+            f"{klass.__name__}.tick 'emit' request has unknown fields "
+            f"{sorted(unknown)}; allowed: count, {sorted(EMIT_FIELDS)}"
+        )
+    return {"fields": fields, "valid": valid}
+
+
 def run_logic_phase(
     world: World,
     nbr: NeighborLists,
@@ -312,7 +386,7 @@ def run_logic_phase(
     cfg: EngineConfig,
     type_ranges: Sequence[Tuple[type, int, int]],
     payload_channels: Optional[Dict[str, int]] = None,
-) -> World:
+) -> Tuple[World, List[Dict[str, Any]]]:
     """Run each registered class's tick over its slot range, masked by
     ``active`` (logic workers only tick active entities,
     logic_worker.js:337-369). ``type_ranges``: (EntityClass, start, count).
@@ -320,8 +394,14 @@ def run_logic_phase(
     All writes are accumulated and applied after every class has read the
     pre-tick world — matching the reference's intent that ticks read
     last-frame state (stale-read pipeline, SURVEY.md §1).
+
+    Returns (world, emissions): ``emissions`` collects the classes'
+    ``"emit"`` tick outputs as normalized request blocks for
+    ops/particles.apply_tick_emissions — the device analog of logic workers
+    calling ParticleEmitter.emit inline (ParticleEmitter.js:78-173).
     """
     writes: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+    emissions: List[Dict[str, Any]] = []
     despawn_mask_total = None
 
     for klass, start, count in type_ranges:
@@ -360,6 +440,11 @@ def run_logic_phase(
                 dm = dm.at[start : start + count].set(value & active_slice)
                 despawn_mask_total = dm if despawn_mask_total is None else (despawn_mask_total | dm)
                 continue
+            if path == "emit":
+                emissions.append(_normalize_emit_request(
+                    value, klass, start, count, world, active_slice
+                ))
+                continue
             arr = read_field(world, path)
             value = jnp.asarray(value, arr.dtype)
             mask, vals = writes.get(path, (None, None))
@@ -370,6 +455,82 @@ def run_logic_phase(
             vals = vals.at[start : start + count].set(
                 jnp.where(active_slice, value, vals[start : start + count])
             )
+            writes[path] = (mask, vals)
+
+    for path, (mask, vals) in writes.items():
+        arr = read_field(world, path)
+        world = write_field(world, path, jnp.where(mask, vals, arr))
+
+    if despawn_mask_total is not None:
+        world = apply_despawn_mask(world, despawn_mask_total)
+    return world, emissions
+
+
+def run_logic_phase_masked(
+    world: World,
+    nbr: NeighborLists,
+    inputs: InputState,
+    cfg: EngineConfig,
+    type_specs: Sequence[Tuple[type, int]],
+    payload_channels: Optional[Dict[str, int]] = None,
+) -> World:
+    """Variant of :func:`run_logic_phase` for ROWS IN ARBITRARY ORDER — the
+    resident-row form used by the spatial-domain shard_map path
+    (parallel/halo.py), where a device's rows are whatever entities currently
+    live in its world slab and class slot-ranges don't exist.
+
+    ``type_specs``: (EntityClass, entity_type_id) pairs. Every class's tick
+    is vmapped over ALL rows and merged under the ``entity_type == id &&
+    active`` mask (cost × number of ticking classes — the price of
+    order-free rows; typical scenes have 1-2 ticking classes).
+
+    Restrictions vs run_logic_phase (asserted by the halo-step builder):
+    ticks must read per-neighbor data via declared ``neighbor_fields``
+    payload channels (``ctx.gather`` would index the LOCAL rows with GLOBAL
+    ids), and the ``"emit"`` key is not supported."""
+    writes: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+    despawn_mask_total = None
+    n = world.transform.x.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    has_payload = nbr.payload.data.shape[-1] > 0
+
+    for klass, type_id in type_specs:
+        tick = getattr(klass, "tick", None)
+        if tick is None:
+            continue
+        tick_fn = tick.__func__ if isinstance(tick, (staticmethod, classmethod)) else tick
+
+        def one(i, ids_row, d2_row, cnt_i, payload_row):
+            ctx = TickCtx(i, world, ids_row, d2_row, cnt_i, inputs,
+                          jnp.float32(cfg.dt_ratio), cfg,
+                          neighbor_payload=payload_row if has_payload else None,
+                          payload_channels=payload_channels)
+            out = tick_fn(ctx)
+            return out if out is not None else {}
+
+        outs = jax.vmap(one)(idx, nbr.ids, nbr.d2, nbr.count, nbr.payload.data)
+        mask_cls = world.transform.active & (
+            world.transform.entity_type == jnp.int32(type_id)
+        )
+
+        for path, value in outs.items():
+            if path == "despawn":
+                dm = value & mask_cls
+                despawn_mask_total = dm if despawn_mask_total is None else (despawn_mask_total | dm)
+                continue
+            if path == "emit":
+                raise NotImplementedError(
+                    f"{klass.__name__}.tick: the 'emit' key is not supported "
+                    "under the halo-sharded step (single-chip path only)"
+                )
+            arr = read_field(world, path)
+            value = jnp.asarray(value, arr.dtype)
+            mask, vals = writes.get(path, (None, None))
+            if mask is None:
+                mask = jnp.zeros(n, jnp.bool_)
+                vals = jnp.zeros_like(arr)
+            mask = mask | mask_cls
+            vals = jnp.where(mask_cls, value, vals)
             writes[path] = (mask, vals)
 
     for path, (mask, vals) in writes.items():

@@ -42,10 +42,14 @@ def _config_fingerprint(engine: "Engine") -> str:
 
     # normalize fields the engine auto-resolves at first step (they don't
     # affect state shapes and would differ between a stepped and a fresh
-    # engine with identical construction parameters)
+    # engine with identical construction parameters): the spatial scan radius
+    # AND the solver backend (_build_step rewrites solver 'auto' -> 'pallas'
+    # on TPU, so a checkpoint saved after stepping must load into a fresh
+    # 'auto' engine)
     cfg = dataclasses.replace(
         engine.config,
         spatial=dataclasses.replace(engine.config.spatial, max_cell_radius=0),
+        physics=dataclasses.replace(engine.config.physics, solver="auto"),
     )
     regs = [
         (name, reg.entity_type, reg.start_index, reg.count)
@@ -106,7 +110,7 @@ def load_checkpoint(engine: "Engine", path: str) -> None:
     engine.rng._t = np.uint32(host["rng_t"])
     for name, pool_state in host["pools"].items():
         pool = engine.classes[name].pool
-        pool.free = list(pool_state["free"])
+        pool.restore_free(pool_state["free"])
         pool.active_count = pool_state["active"]
     engine._prev_pairs = np.asarray(host["prev_pairs"], np.int64)
     engine.input.camera_x, engine.input.camera_y, engine.input.camera_zoom = host["camera"]

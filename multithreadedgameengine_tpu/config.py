@@ -103,6 +103,10 @@ class ParticleConfig:
     decals: bool = False
     decals_tile_size: int = 256
     decals_resolution: float = 1.0
+    # TPU-only: static per-step budget for DEVICE-side tick emissions (the
+    # "emit" tick key); requests beyond it drop, like host emissions beyond
+    # the pool's free count. 0 disables the device emission path entirely.
+    max_emit_per_step: int = 1024
 
 
 @dataclass(frozen=True)

@@ -113,6 +113,10 @@ class ParticleEmitterAPI:
             ))
         return n
 
+    def clear(self) -> None:
+        """Drop queued emissions (engine.destroy)."""
+        self._pending.clear()
+
     def build_batch(self):
         """Drain the queue into a padded field-array batch + real count.
         Returns (batch dict of numpy arrays, n) or (None, 0)."""

@@ -445,32 +445,58 @@ class Engine:
         return idx
 
     def despawn(self, index: int) -> None:
-        """Despawn by index (gameObject.js:668-691)."""
+        """Despawn by index (gameObject.js:668-691). A no-op on an index that
+        is already inactive — the reference's double-despawn guard
+        (gameObject.js:668-670): releasing a slot twice would duplicate the
+        free-list entry and alias two later spawns."""
         self._require_init()
         reg = self._class_of_index(index)
-        reg.pool.release(index)
+        if not reg.pool.release(index):
+            return
         reg.cls.on_despawned(index)
         self._pending_ops.append(("despawn", index, None))
 
     def despawn_all(self, class_name: Optional[str] = None) -> None:
         """despawnAllEntities (gameEngine.js:1677, logic_worker.js:654-711).
-        The mouse (index 0) is never despawned."""
+        The mouse (index 0) is never despawned. Vectorized: pools release in
+        bulk and the world flags clear in one scatter per component — O(ms)
+        at 1M entities instead of the reference's per-index loop."""
         self._require_init()
+        self._flush_pending()  # resolve queued spawns before reading flags
         regs = (
             [self.classes[class_name]] if class_name else list(self.classes.values())
         )
         active = np.asarray(jax.device_get(self.world.transform.active))
-        # include not-yet-flushed spawns
-        pend_active = {}
-        for op, idx, _ in self._pending_ops:
-            pend_active[idx] = op == "spawn"
+        world = self.world
         for reg in regs:
-            if reg.cls is Mouse:
+            if reg.cls is Mouse or reg.count == 0:
                 continue
-            for i in range(reg.start_index, reg.start_index + reg.count):
-                is_active = pend_active.get(i, bool(active[i]))
-                if is_active:
-                    self.despawn(i)
+            sl = slice(reg.start_index, reg.start_index + reg.count)
+            idxs = np.nonzero(active[sl])[0] + reg.start_index
+            if idxs.size == 0:
+                continue
+            reg.pool.release_many(idxs)
+            if reg.cls.on_despawned.__func__ is not EntityClass.on_despawned.__func__:
+                for i in idxs:
+                    reg.cls.on_despawned(int(i))
+            dev_idx = jnp.asarray(idxs, jnp.int32)
+            off = jnp.zeros((idxs.size,), jnp.bool_)
+            world = write_field(
+                world, "transform.active",
+                read_field(world, "transform.active").at[dev_idx].set(off),
+            )
+            for comp_path in reg.component_paths:
+                comp = (
+                    getattr(world, comp_path)
+                    if hasattr(world, comp_path)
+                    else world.custom[comp_path]
+                )
+                if hasattr(comp, "active"):
+                    world = write_field(
+                        world, f"{comp_path}.active",
+                        read_field(world, f"{comp_path}.active").at[dev_idx].set(off),
+                    )
+        self.world = world
 
     def _class_of_index(self, index: int) -> RegisteredClass:
         for reg in self.classes.values():
@@ -490,12 +516,14 @@ class Engine:
         active = np.asarray(jax.device_get(self.world.transform.active))
         reclaimed = 0
         for reg in self.classes.values():
+            if reg.count == 0:
+                continue
             pool = reg.pool
-            tracked_free = set(pool.free)
-            for i in range(reg.start_index, reg.start_index + reg.count):
-                if not active[i] and i not in tracked_free:
-                    pool.release(i)
-                    reclaimed += 1
+            sl = slice(reg.start_index, reg.start_index + reg.count)
+            inactive = np.nonzero(~active[sl])[0] + reg.start_index
+            before = pool.free_count
+            pool.release_many(inactive)  # skips already-tracked indices
+            reclaimed += pool.free_count - before
         return reclaimed
 
     def get_pool_stats(self, class_name: str) -> Dict[str, int]:
@@ -713,7 +741,7 @@ class Engine:
                         data=jnp.zeros((n, 1, 0), jnp.float32)
                     ),
                 )
-            world = run_logic_phase(
+            world, emissions = run_logic_phase(
                 world, nbr, inputs, cfg, type_ranges, payload_channels
             )
             world = advance_animation(world, frame_counts, cfg.dt_ratio)
@@ -742,7 +770,9 @@ class Engine:
                 )
                 min_d = c2.radius[:, None] + r_j
                 rec = ok & (nbr.d2 < min_d * min_d)
-                world = record_collision_pairs(world, nbr, rec, cfg)
+                world, pairs_dropped = record_collision_pairs(world, nbr, rec, cfg)
+            else:
+                pairs_dropped = jnp.int32(0)
 
             # particle pool + decals (particle_worker phases, SURVEY.md §2.3)
             p_active = jnp.int32(-1)
@@ -759,6 +789,18 @@ class Engine:
                         decal_textures, cfg,
                     )
                     world = world.replace(decal_canvas=canvas, decal_dirty=dirty)
+                # device-side tick emissions ("emit" key): claimed after this
+                # frame's pool update so new particles first move next frame —
+                # same cadence as the reference's free-running particle worker
+                # picking up particles emitted by a logic tick
+                if emissions and cfg.particle.max_emit_per_step > 0:
+                    from .ops.particles import apply_tick_emissions
+
+                    pool, spawned = apply_tick_emissions(
+                        world.particles, emissions, cfg.particle.max_emit_per_step
+                    )
+                    world = world.replace(particles=pool)
+                    p_active = p_active + spawned
                 world = update_particle_visibility(world, cfg, inputs)
             # screen culling for entities (particle_worker.js:1012-1056)
             world = update_entity_visibility(world, cfg, inputs)
@@ -778,6 +820,7 @@ class Engine:
             metrics = {
                 "active_count": jnp.sum(world.transform.active, dtype=jnp.int32),
                 "collision_pair_count": world.collision_pair_count,
+                "collision_pairs_dropped": pairs_dropped,
                 "n_binned": nbr.n_binned,
                 "active_particles": p_active,
                 # NaN/explosion guard (SURVEY.md §5.3): active entities with
@@ -795,6 +838,7 @@ class Engine:
             zero_metrics = {
                 "active_count": jnp.int32(0),
                 "collision_pair_count": jnp.int32(0),
+                "collision_pairs_dropped": jnp.int32(0),
                 "n_binned": jnp.int32(0),
                 "active_particles": jnp.int32(0),
                 "nonfinite_count": jnp.int32(0),
@@ -821,10 +865,31 @@ class Engine:
     def step(self, n: int = 1, block: bool = False) -> Dict[str, Any]:
         """Advance the simulation ``n`` frames. Queued spawns/despawns flush
         first (the control plane runs between steps, like the reference's
-        postMessage handling between frames)."""
+        postMessage handling between frames).
+
+        Granularity semantics for ``n > 1``:
+         - with collision/screen events enabled, frames run one at a time so
+           every Enter/Stay/Exit transition dispatches (the reference's logic
+           workers diff the pair set every frame, logic_worker.js:429-443);
+         - otherwise all ``n`` frames run in ONE device-side fori_loop with
+           the inputs snapshot frozen for the chunk (the reference samples the
+           input SAB every frame, logic_worker.js:293 — a documented deviation
+           that benchmarks exploit; pass n=1 per host frame for interactive
+           input fidelity)."""
         self._require_init()
         if self.paused or n <= 0:
             return self.metrics
+        events_on = (
+            self.config.logic.collision_events or self.config.logic.screen_events
+        )
+        if events_on and n > 1:
+            # per-frame stepping so no Enter/Stay/Exit transition is lost
+            # (ADVICE r1: chunked stepping diffed only the final frame)
+            for _ in range(n):
+                metrics = self.step(1, block=False)
+            if block:
+                self.sync()
+            return metrics
         compiled_now = self._step_fn is None
         if compiled_now:
             self._build_step()
@@ -987,12 +1052,21 @@ class Engine:
     def destroy(self) -> None:
         """Release device state and compiled programs (gameEngine.destroy,
         :1585-1639 — there are no workers to terminate; dropping the pytree
-        frees HBM)."""
+        frees HBM). Pools, pending ops and event state reset too, so a
+        subsequent init() starts from a clean slate (in particular the Mouse
+        slot is reclaimable — without this, re-init's spawn('Mouse') would
+        silently return None and kill the input plane)."""
         self.world = None
         self._step_fn = None
         self._step_n_fn = None
         self._emission_fn = None
         self._initialized = False
+        self._pending_ops.clear()
+        self._prev_pairs = np.empty((0,), np.int64)
+        self._prev_onscreen = None
+        self.emitter.clear()
+        for reg in self.classes.values():
+            reg.pool = EntityPool(reg.start_index, reg.count)
 
     def update_physics_config(self, **kwargs) -> None:
         """Live physics updates: ``engine.update_physics_config(gravity=(0, 1))``

@@ -113,6 +113,39 @@ def update_particles(
     return pool, stamps, jnp.sum(alive, dtype=jnp.int32)
 
 
+def apply_tick_emissions(
+    p: Particles,
+    requests,
+    budget: int,
+) -> Tuple[Particles, jnp.ndarray]:
+    """Claim pool slots for DEVICE-side tick emissions — the ``"emit"`` tick
+    return key (the reference's logic workers calling ParticleEmitter.emit
+    inline during tick, ParticleEmitter.js:78-173, demos/predators/
+    predator.js:400-444).
+
+    ``requests``: normalized blocks from behavior.run_logic_phase — each a
+    dict with ``fields`` ([n_cls, cap] per emit field) and ``valid``
+    ([n_cls, cap] slot mask). All blocks flatten and compact (cumsum rank)
+    into one dense [budget] batch; requests beyond ``budget`` drop, exactly
+    like host emissions beyond the free-slot count. Emission order follows
+    class registration order then entity index then slot — deterministic.
+
+    Returns (pool, spawned)."""
+    if not requests:
+        return p, jnp.int32(0)
+    valid = jnp.concatenate([r["valid"].reshape(-1) for r in requests])
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    dest = jnp.where(valid & (rank < budget), rank, budget)
+    batch: Dict[str, jnp.ndarray] = {}
+    field_names = requests[0]["fields"].keys()
+    for key in field_names:
+        vals = jnp.concatenate([r["fields"][key].reshape(-1) for r in requests])
+        base = jnp.zeros((budget,), vals.dtype)
+        batch[key] = base.at[dest].set(vals, mode="drop")
+    total = jnp.minimum(jnp.sum(valid, dtype=jnp.int32), budget)
+    return apply_emission(p, batch, total)
+
+
 def apply_emission(
     p: Particles, batch: Dict[str, jnp.ndarray], n: jnp.ndarray = None
 ) -> Tuple[Particles, jnp.ndarray]:

@@ -282,7 +282,7 @@ def update_derived(world: World, cfg: EngineConfig) -> World:
 
 def record_collision_pairs(
     world: World, nbr: NeighborLists, overlap: jnp.ndarray, cfg: EngineConfig
-) -> World:
+) -> Tuple[World, jnp.ndarray]:
     """Compact the overlap mask into the ``[max_pairs, 2]`` pair table
     (collisionData SAB analog; pair-once ``i < j`` as in
     physics_worker.js:444, :501-505, :554-559).
@@ -292,12 +292,18 @@ def record_collision_pairs(
     are first squeezed to its top ``PER_ENTITY`` slots with top_k, and only
     the [N × PER_ENTITY] survivor set feeds the global cumsum+scatter. More
     than PER_ENTITY simultaneous new partners per entity drops the excess —
-    the reference drops pairs past maxCollisionPairs globally the same way."""
+    the reference drops pairs past maxCollisionPairs globally the same way.
+
+    Returns (world, dropped): ``dropped`` counts pairs lost to EITHER the
+    per-entity top-k prefilter or the global max_pairs cap, surfaced as the
+    ``collision_pairs_dropped`` step metric so silent Enter/Stay loss in
+    dense piles is observable (VERDICT weak #4)."""
     PER_ENTITY = 16
     n, s = nbr.ids.shape
     max_pairs = world.collision_pairs.shape[0]
     i_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, s))
     rec = overlap & (nbr.ids > i_idx)  # record each pair once
+    total = jnp.sum(rec, dtype=jnp.int32)
 
     p = min(PER_ENTITY, s)
     v, sel = jax.lax.top_k(rec.astype(jnp.int32), p)  # [N, p]
@@ -315,7 +321,8 @@ def record_collision_pairs(
     pairs = pairs.at[dest, 0].set(flat_i, mode="drop")
     pairs = pairs.at[dest, 1].set(flat_j, mode="drop")
     count = jnp.minimum(jnp.sum(flat_rec, dtype=jnp.int32), max_pairs)
-    return world.replace(collision_pairs=pairs, collision_pair_count=count)
+    world = world.replace(collision_pairs=pairs, collision_pair_count=count)
+    return world, total - count
 
 
 def physics_step(

@@ -79,6 +79,8 @@ def bin_entities(
     payload: jnp.ndarray = None,
     build_table: bool = True,
     table_values: jnp.ndarray = None,
+    row: jnp.ndarray = None,
+    col: jnp.ndarray = None,
 ) -> BinTable:
     """Clamped truncation cell assignment (spatial_worker.js:157-161) +
     stable argsort by cell + within-cell rank + table scatter.
@@ -93,14 +95,21 @@ def bin_entities(
 
     ``build_table=False`` skips the [cells, capacity] table (consumers that
     scatter their own payloads — the grid physics solver — only need
-    cell/rank per entity); ``table`` is then a [1, capacity] placeholder."""
+    cell/rank per entity); ``table`` is then a [1, capacity] placeholder.
+
+    ``row``/``col``: optional precomputed integer cell coordinates. The halo
+    path (parallel/halo.py) passes slab-LOCAL coordinates derived from the
+    global truncation so local and single-device binning agree bit-for-bit
+    (recomputing ``(y - offset) * inv`` would shift truncation boundaries by
+    float error)."""
     n = x.shape[0]
     if payload is not None and n >= (1 << 24):
         raise ValueError("payload packing requires fewer than 2^24 entities")
     cells = geom.num_cells
     inv = 1.0 / geom.cell_size
-    col = jnp.clip((x * inv).astype(jnp.int32), 0, geom.cols - 1)
-    row = jnp.clip((y * inv).astype(jnp.int32), 0, geom.rows - 1)
+    if row is None:
+        col = jnp.clip((x * inv).astype(jnp.int32), 0, geom.cols - 1)
+        row = jnp.clip((y * inv).astype(jnp.int32), 0, geom.rows - 1)
     cell_id = jnp.where(valid, row * geom.cols + col, cells)
 
     order = jnp.argsort(cell_id, stable=True).astype(jnp.int32)

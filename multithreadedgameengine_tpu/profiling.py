@@ -120,7 +120,7 @@ class PhaseProfiler:
             ),
             world,
         )
-        timed("logic", lambda w: run_logic_phase(w, nbr, inputs, cfg, type_ranges), world)
+        timed("logic", lambda w: run_logic_phase(w, nbr, inputs, cfg, type_ranges)[0], world)
         timed("verlet_move", lambda w: verlet_move(w, cfg, cfg.dt_ratio), world)
         timed("derived", lambda w: update_derived(w, cfg), world)
         timed("full_step", lambda w: eng._one_step_raw(w, inputs)[0], world)

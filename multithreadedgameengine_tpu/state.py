@@ -134,6 +134,7 @@ class EntityPool:
                 order.append(start + base + offset)
                 base += self.INTERLEAVE
         self.free: list = order  # top of stack = end of list
+        self._free_set = set(order)
         self.active_count = 0
 
     def claim(self) -> Optional[int]:
@@ -143,15 +144,40 @@ class EntityPool:
         if not self.free:
             return None
         idx = self.free.pop()
+        self._free_set.discard(idx)
         self.active_count += 1
         return idx
 
-    def release(self, idx: int) -> None:
-        """Push an index back (despawn, gameObject.js:668-691)."""
+    def release(self, idx: int) -> bool:
+        """Push an index back (despawn, gameObject.js:668-691). Returns False
+        without touching the list when the index is already free — the
+        reference's double-despawn guard ('Prevent double-despawn which
+        corrupts the free list', gameObject.js:668-670): releasing twice would
+        duplicate the entry and alias two later spawns onto one slot."""
         if not (self.start <= idx < self.start + self.count):
             raise ValueError(f"index {idx} outside pool [{self.start}, {self.start + self.count})")
+        if idx in self._free_set:
+            return False
         self.free.append(idx)
+        self._free_set.add(idx)
         self.active_count -= 1
+        return True
+
+    def release_many(self, indices) -> None:
+        """Bulk release in ascending order (despawnAll's per-index loop,
+        gameObject.js:1001-1034, vectorized). Skips already-free indices."""
+        fresh = [int(i) for i in indices if int(i) not in self._free_set]
+        self.free.extend(fresh)
+        self._free_set.update(fresh)
+        self.active_count -= len(fresh)
+
+    def restore_free(self, free: list) -> None:
+        """Replace the free list wholesale (checkpoint restore)."""
+        self.free = list(free)
+        self._free_set = set(self.free)
+
+    def is_free(self, idx: int) -> bool:
+        return idx in self._free_set
 
     @property
     def free_count(self) -> int:
