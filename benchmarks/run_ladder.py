@@ -1,0 +1,200 @@
+"""The full benchmark ladder (BASELINE.md configs 1-5) as ONE committed JSON
+artifact, so round-over-round perf is auditable (VERDICT r1 weak #8 / next #10).
+
+Run on the TPU:  python benchmarks/run_ladder.py [out.json]
+Writes one JSON object per rung to stdout AND the aggregate to the out file
+(default BENCH_LADDER.json).
+
+Rungs:
+ 1. balls 10k / 100k / 1M steps/s (config 1 + the prueba_ecs 1M scale)
+ 2. pool churn: balls 10k with 256 despawns + 256 spawns every frame
+    (config 2 — the free-list steady state, gameObject.js:794-951)
+ 3. boids-only 15k flocking over the spatial hash (config 3)
+ 4. predators full 15k: AI + animation + 50k particles + decals + lighting +
+    shadows + collision events (config 4, demos/predators/index.html:304-380)
+
+Config 5 (1M multi-chip halo) is validated by dryrun_multichip on a virtual
+mesh — only one physical chip is reachable here; its single-chip number is
+rung 1's 1M entry.
+
+Axon notes: every program's first execution costs minutes (deploy); each rung
+warms itself. block=True paths end in a real device_get barrier
+(block_until_ready lies under the tunnel).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def _timed_steps(eng, chunk: int, reps: int = 3) -> float:
+    """Best-of-reps seconds per step over chunked stepping."""
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        eng.step(chunk)
+        eng.sync()
+        times.append((time.time() - t0) / chunk)
+    return min(times)
+
+
+def rung_balls(n_balls: int, chunk: int = 20) -> dict:
+    import numpy as np
+
+    from multithreadedgameengine_tpu.models.balls import make_balls_engine
+
+    scale = (n_balls / 10_000) ** 0.5
+    eng = make_balls_engine(
+        n_balls=n_balls, seed=123456,
+        world_width=9000.0 * scale, world_height=4000.0 * scale,
+    )
+    t0 = time.time()
+    eng.step(5, block=True)
+    warm = time.time() - t0
+    best = _timed_steps(eng, chunk)
+    y = np.asarray(eng.snapshot().transform.y)[1:]
+    assert np.isfinite(y).all()
+    return {
+        "metric": f"balls_{n_balls}_steps_per_sec",
+        "value": round(1.0 / best, 2),
+        "unit": "steps/s",
+        "ms_per_step": round(best * 1000, 2),
+        "warmup_s": round(warm, 1),
+        "vs_baseline": round((1.0 / best) / 60.0, 3),
+    }
+
+
+def rung_churn(n_balls: int = 10_000, churn: int = 256, frames: int = 60) -> dict:
+    import numpy as np
+
+    from multithreadedgameengine_tpu.models.balls import make_balls_engine
+
+    eng = make_balls_engine(n_balls=n_balls, seed=123456)
+    eng.step(5, block=True)  # warm the single-frame program
+    rng = np.random.default_rng(7)
+    reg = eng.classes["Ball"]
+
+    def one_frame():
+        active = [i for i in range(reg.start_index, reg.start_index + reg.count)
+                  if not reg.pool.is_free(i)]
+        for i in rng.choice(active, size=min(churn, len(active)), replace=False):
+            eng.despawn(int(i))
+        for _ in range(churn):
+            eng.spawn(
+                "Ball",
+                x=float(rng.uniform(100, 8900)),
+                y=float(rng.uniform(100, 1000)),
+            )
+        eng.step(1)
+
+    one_frame()
+    eng.sync()
+    t0 = time.time()
+    for _ in range(frames):
+        one_frame()
+    eng.sync()
+    per = (time.time() - t0) / frames
+    stats = eng.get_pool_stats("Ball")
+    assert stats["active"] == n_balls  # churn conserves population
+    return {
+        "metric": f"balls_{n_balls}_churn{churn}_steps_per_sec",
+        "value": round(1.0 / per, 2),
+        "unit": "steps/s",
+        "ms_per_step": round(per * 1000, 2),
+        "vs_baseline": round((1.0 / per) / 60.0, 3),
+    }
+
+
+def rung_boids(n_boids: int = 15_000, chunk: int = 20) -> dict:
+    import numpy as np
+
+    from multithreadedgameengine_tpu import Engine, make_config
+    from multithreadedgameengine_tpu.models.boids import Boid
+
+    eng = Engine(make_config(
+        world_width=5000.0, world_height=2000.0, seed=123456,
+        spatial=dict(cell_size=50.0, max_neighbors=400, cell_capacity=32),
+        physics=dict(sub_step_count=1),
+    ))
+    eng.register_entity_class(Boid, n_boids)
+    eng.init()
+    rng = np.random.default_rng(123456)
+    eng.spawn_batch(
+        "Boid", n_boids,
+        x=rng.uniform(50, 4950, n_boids).astype(np.float32),
+        y=rng.uniform(50, 1950, n_boids).astype(np.float32),
+        vx=rng.uniform(-3, 3, n_boids).astype(np.float32),
+        vy=rng.uniform(-3, 3, n_boids).astype(np.float32),
+        call_on_spawned=False,
+    )
+    eng.step(5, block=True)
+    best = _timed_steps(eng, chunk)
+    return {
+        "metric": f"boids_{n_boids}_steps_per_sec",
+        "value": round(1.0 / best, 2),
+        "unit": "steps/s",
+        "ms_per_step": round(best * 1000, 2),
+        "vs_baseline": round((1.0 / best) / 60.0, 3),
+    }
+
+
+def rung_predators(n_prey: int = 15_000, frames: int = 60, events: bool = True) -> dict:
+    import numpy as np
+
+    from multithreadedgameengine_tpu.models.predators import make_predators_engine
+
+    over = {"logic": dict(collision_events=True)} if events else {}
+    eng = make_predators_engine(n_prey=n_prey, **over)
+    eng.step(5, block=True)
+    # events force per-frame stepping (host dispatch each frame) — time the
+    # REAL interactive loop, not a chunked fori
+    eng.step(5)
+    eng.sync()
+    t0 = time.time()
+    eng.step(frames)
+    eng.sync()
+    per = (time.time() - t0) / frames
+    act = np.asarray(eng.snapshot().transform.active)
+    return {
+        "metric": f"predators_{n_prey}_{'events' if events else 'noevents'}_steps_per_sec",
+        "value": round(1.0 / per, 2),
+        "unit": "steps/s",
+        "ms_per_step": round(per * 1000, 2),
+        "active": int(act.sum()),
+        "vs_baseline": round((1.0 / per) / 60.0, 3),
+    }
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_LADDER.json"
+    results = []
+
+    def run(name, fn, *args, **kw):
+        try:
+            r = fn(*args, **kw)
+        except Exception as e:  # keep the ladder going
+            r = {"metric": name, "error": str(e)}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+
+    run("balls_10000", rung_balls, 10_000)
+    run("balls_100000", rung_balls, 100_000)
+    run("balls_1000000", rung_balls, 1_000_000, chunk=10)
+    run("churn", rung_churn)
+    run("boids_15000", rung_boids)
+    run("predators_events", rung_predators, events=True)
+    run("predators_noevents", rung_predators, events=False)
+
+    import jax
+
+    with open(out_path, "w") as f:
+        json.dump(
+            {"backend": jax.default_backend(), "rungs": results}, f, indent=1
+        )
+    print(f"wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

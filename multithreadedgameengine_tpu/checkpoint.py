@@ -22,7 +22,9 @@ import numpy as np
 if TYPE_CHECKING:
     from .engine import Engine
 
-FORMAT_VERSION = 1
+# v2: collision-event prev/enter/stay/exit tables moved into the World pytree
+# (device-side diff, ops/events.py) — the host prev_pairs entry is gone
+FORMAT_VERSION = 2
 
 
 def _leaf_key(path) -> str:
@@ -74,7 +76,6 @@ def save_checkpoint(engine: "Engine", path: str) -> None:
                    "active": reg.pool.active_count}
             for name, reg in engine.classes.items()
         },
-        "prev_pairs": [int(v) for v in engine._prev_pairs],
         "camera": [engine.input.camera_x, engine.input.camera_y,
                    engine.input.camera_zoom],
     }
@@ -112,6 +113,5 @@ def load_checkpoint(engine: "Engine", path: str) -> None:
         pool = engine.classes[name].pool
         pool.restore_free(pool_state["free"])
         pool.active_count = pool_state["active"]
-    engine._prev_pairs = np.asarray(host["prev_pairs"], np.int64)
     engine.input.camera_x, engine.input.camera_y, engine.input.camera_zoom = host["camera"]
     engine._pending_ops.clear()

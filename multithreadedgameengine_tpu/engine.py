@@ -53,6 +53,26 @@ from .rng import Mulberry32
 from .state import EntityPool, World, make_world
 
 
+def apply_inputs(world: World, inputs: InputState) -> World:
+    """Mouse statics → Transform[0] / MouseComponent[0] (Mouse.js:30-104):
+    the per-step input write at the head of every step variant (single-chip
+    fused step and the shard_map halo step)."""
+    t = world.transform
+    m = world.mouse
+    return world.replace(
+        transform=t.replace(
+            x=t.x.at[0].set(inputs.mouse_x),
+            y=t.y.at[0].set(inputs.mouse_y),
+        ),
+        mouse=m.replace(
+            button0_down=m.button0_down.at[0].set(inputs.mouse_buttons[0]),
+            button1_down=m.button1_down.at[0].set(inputs.mouse_buttons[1]),
+            button2_down=m.button2_down.at[0].set(inputs.mouse_buttons[2]),
+            is_present=m.is_present.at[0].set(inputs.mouse_present),
+        ),
+    )
+
+
 class Mouse(EntityClass):
     """Mouse as entity index 0 (src/core/Mouse.js): a radius-0 trigger collider
     with visualRange 150 so the spatial grid tracks it (:139-145)."""
@@ -68,23 +88,44 @@ class Mouse(EntityClass):
         }
 
 
-class CollisionEventCtx:
-    """Host context handed to collision Enter/Stay/Exit hooks. Caches the
-    position/type arrays once per dispatch so hooks (which in the reference
-    read SoA arrays directly, predator.js:94-125) don't issue per-pair device
-    reads. Mutations go through the control plane (engine.emitter, spawn,
-    despawn) and land before the next step."""
+class _RowView:
+    """id → value mapping presented with array-style ``view[i]`` access, so
+    hooks written against the reference's direct SoA reads (``Transform.x[i]``,
+    predator.js:94-125) keep working against a sparse participant set."""
 
-    def __init__(self, engine: "Engine"):
+    __slots__ = ("_m",)
+
+    def __init__(self, m):
+        self._m = m
+
+    def __getitem__(self, i):
+        return self._m[int(i)]
+
+
+class CollisionEventCtx:
+    """Host context handed to collision Enter/Stay/Exit hooks. Gathers ONLY
+    the event participants' position/type rows (one small device transfer per
+    dispatch) instead of the full [N] arrays — at 1M entities a full pull per
+    frame would serialize the pipeline. Mutations go through the control
+    plane (engine.emitter, spawn, despawn) and land before the next step."""
+
+    def __init__(self, engine: "Engine", participant_ids: np.ndarray):
         self.engine = engine
         self.emitter = engine.emitter
-        world = engine.world
-        self.x = np.asarray(jax.device_get(world.transform.x))
-        self.y = np.asarray(jax.device_get(world.transform.y))
-        self.entity_type = np.asarray(jax.device_get(world.transform.entity_type))
+        ids = np.unique(np.asarray(participant_ids, np.int64).ravel())
+        ids = ids[ids >= 0]
+        w = engine.world
+        xs, ys, ts = jax.device_get((
+            w.transform.x[ids], w.transform.y[ids], w.transform.entity_type[ids]
+        ))
+        self.x = _RowView({int(i): float(v) for i, v in zip(ids, np.asarray(xs))})
+        self.y = _RowView({int(i): float(v) for i, v in zip(ids, np.asarray(ys))})
+        self.entity_type = _RowView(
+            {int(i): int(v) for i, v in zip(ids, np.asarray(ts))}
+        )
 
     def type_of(self, index: int) -> int:
-        return int(self.entity_type[index])
+        return self.entity_type[index]
 
 
 @dataclasses.dataclass
@@ -151,8 +192,6 @@ class Engine:
         # solver's geometry; a larger later spawn forces a step rebuild
         self._max_radius = 0.0
         self._solver_radius_bound = 0.0
-        # collision-event state: previous frame's pair-key set
-        self._prev_pairs: np.ndarray = np.empty((0,), np.int64)
         self.metrics: Dict[str, Any] = {}
 
         # Mouse auto-registered first so entity index 0 is the mouse
@@ -249,6 +288,7 @@ class Engine:
             decal_canvas_shape=decal_shape,
             decal_tile_shape=tile_shape,
             n_shadow_sprites=n_shadows,
+            event_tables=self.config.logic.collision_events,
         )
         # pre-initialize entityType for every slot, active or not
         # (preInitializeEntityTypeArrays, gameEngine.js:778-791)
@@ -603,6 +643,69 @@ class Engine:
         self.config = cfg
         return cfg
 
+    def _payload_plan(self, cfg: EngineConfig):
+        """Union of declared per-neighbor field paths across ticking classes:
+        these ride the neighbor table as payload channels (0=id, 1=x, 2=y).
+        Returns (payload_channels dict, extra_paths list)."""
+        declared: List[str] = []
+        for reg in self.classes.values():
+            if reg.count > 0:
+                for p in getattr(reg.cls, "neighbor_fields", ()):
+                    p = FIELD_ALIASES.get(p, p)
+                    if p not in declared:
+                        declared.append(p)
+        if cfg.logic.collision_events:
+            # pair recording reads these from the payload (zero gathers)
+            for p in ("collider.radius", "collider.active"):
+                if p not in declared:
+                    declared.append(p)
+        payload_channels = {"transform.x": 1, "transform.y": 2}
+        extra_paths = [p for p in declared if p not in payload_channels]
+        for k, p in enumerate(extra_paths):
+            payload_channels[p] = 3 + k
+        return payload_channels, extra_paths
+
+    def _solver_plan(self, cfg: EngineConfig):
+        """Resolve the grid-solver geometry from the registered radii and the
+        TPU auto->pallas backend selection. Returns (cfg, solver_geom|None,
+        need_neighbors_forced: bool). May update self.config."""
+        from .ops.physics_grid import solver_geometry
+
+        radii = np.asarray(jax.device_get(read_field(self.world, "collider.radius")))
+        r_world = float(radii.max()) if radii.size else 0.0
+        max_r = max(self._max_radius, r_world)
+        present = radii[radii > 0]
+        mean_r = float(present.mean()) if present.size else max_r
+        self._solver_radius_bound = max_r
+        solver_geom = (
+            solver_geometry(cfg, max_r, mean_radius=mean_r)
+            if max_r > 0 else None
+        )
+        if solver_geom is None:
+            return cfg, None, True  # no radii known: neighbor solver
+        if cfg.physics.solver == "auto" and jax.default_backend() == "tpu":
+            # the Pallas pair kernel outruns the XLA formulation whenever
+            # its halo-tile scratch fits the VMEM budget (10 buffers of
+            # [cap, tile+16, 128-padded cols] f32)
+            cp_pad = math.ceil((solver_geom.cols + 2) / 128) * 128
+            vmem = 10 * solver_geom.capacity * 24 * cp_pad * 4
+            if vmem < 90 * 1024 * 1024:
+                cfg = dataclasses.replace(
+                    cfg,
+                    physics=dataclasses.replace(cfg.physics, solver="pallas"),
+                )
+                self.config = cfg
+        return cfg, solver_geom, False
+
+    def _frame_counts(self) -> jnp.ndarray:
+        """Per-(sheet, animation) frame counts for on-device frame advance."""
+        sheets = [self.sprites.sheet_by_id(i) for i in range(1, self.sprites._next_sheet_id)]
+        max_anims = max([1] + [len(s.animations) for s in sheets])
+        fc = np.ones((len(sheets) + 1, max_anims), np.int32)
+        for s in sheets:
+            fc[s.sheet_id, : len(s.frame_counts)] = s.frame_counts
+        return jnp.asarray(fc)
+
     def _build_step(self):
         cfg = self._resolve_spatial()
         type_ranges = tuple(
@@ -629,53 +732,11 @@ class Engine:
         )
         solver_geom = None
         if use_grid_solver:
-            from .ops.physics_grid import solver_geometry
-
-            radii = np.asarray(jax.device_get(read_field(self.world, "collider.radius")))
-            r_world = float(radii.max()) if radii.size else 0.0
-            max_r = max(self._max_radius, r_world)
-            present = radii[radii > 0]
-            mean_r = float(present.mean()) if present.size else max_r
-            self._solver_radius_bound = max_r
-            solver_geom = (
-                solver_geometry(cfg, max_r, mean_radius=mean_r)
-                if max_r > 0 else None
-            )
-            if solver_geom is None:
-                need_neighbors = True  # no radii known: neighbor solver
-            elif cfg.physics.solver == "auto" and jax.default_backend() == "tpu":
-                # the Pallas pair kernel outruns the XLA formulation whenever
-                # its halo-tile scratch fits the VMEM budget (10 buffers of
-                # [cap, tile+16, 128-padded cols] f32)
-                import math as _math
-
-                cp_pad = _math.ceil((solver_geom.cols + 2) / 128) * 128
-                vmem = 10 * solver_geom.capacity * 24 * cp_pad * 4
-                if vmem < 90 * 1024 * 1024:
-                    cfg = dataclasses.replace(
-                        cfg,
-                        physics=dataclasses.replace(cfg.physics, solver="pallas"),
-                    )
-                    self.config = cfg
+            cfg, solver_geom, forced = self._solver_plan(cfg)
+            need_neighbors = need_neighbors or forced
 
         n = self.world.n_entities
-
-        def write_inputs(world: World, inputs: InputState) -> World:
-            # Mouse statics → Transform[0] / MouseComponent[0] (Mouse.js:30-104)
-            t = world.transform
-            m = world.mouse
-            return world.replace(
-                transform=t.replace(
-                    x=t.x.at[0].set(inputs.mouse_x),
-                    y=t.y.at[0].set(inputs.mouse_y),
-                ),
-                mouse=m.replace(
-                    button0_down=m.button0_down.at[0].set(inputs.mouse_buttons[0]),
-                    button1_down=m.button1_down.at[0].set(inputs.mouse_buttons[1]),
-                    button2_down=m.button2_down.at[0].set(inputs.mouse_buttons[2]),
-                    is_present=m.is_present.at[0].set(inputs.mouse_present),
-                ),
-            )
+        write_inputs = apply_inputs
 
         from .ops.culling import (
             update_entity_visibility,
@@ -684,24 +745,7 @@ class Engine:
         from .ops.particles import update_particles
         from .ops.spatial import NeighborLists, NeighborPayload
 
-        # union of declared per-neighbor field paths across ticking classes:
-        # these ride the neighbor table as payload channels (0=id, 1=x, 2=y)
-        declared: List[str] = []
-        for reg in self.classes.values():
-            if reg.count > 0:
-                for p in getattr(reg.cls, "neighbor_fields", ()):
-                    p = FIELD_ALIASES.get(p, p)
-                    if p not in declared:
-                        declared.append(p)
-        if cfg.logic.collision_events:
-            # pair recording reads these from the payload (zero gathers)
-            for p in ("collider.radius", "collider.active"):
-                if p not in declared:
-                    declared.append(p)
-        payload_channels = {"transform.x": 1, "transform.y": 2}
-        extra_paths = [p for p in declared if p not in payload_channels]
-        for k, p in enumerate(extra_paths):
-            payload_channels[p] = 3 + k
+        payload_channels, extra_paths = self._payload_plan(cfg)
 
         has_particles = cfg.particle.max_particles > 0
         decals_on = has_particles and cfg.particle.decals
@@ -711,15 +755,9 @@ class Engine:
 
             decal_textures = default_decal_textures(len(self.sprites.textures))
 
-        # per-(sheet, animation) frame counts for on-device frame advance
         from .render.extract import advance_animation
 
-        sheets = [self.sprites.sheet_by_id(i) for i in range(1, self.sprites._next_sheet_id)]
-        max_anims = max([1] + [len(s.animations) for s in sheets])
-        fc = np.ones((len(sheets) + 1, max_anims), np.int32)
-        for s in sheets:
-            fc[s.sheet_id, : len(s.frame_counts)] = s.frame_counts
-        frame_counts = jnp.asarray(fc)
+        frame_counts = self._frame_counts()
 
         def one_step(world: World, inputs: InputState):
             world = write_inputs(world, inputs)
@@ -771,6 +809,22 @@ class Engine:
                 min_d = c2.radius[:, None] + r_j
                 rec = ok & (nbr.d2 < min_d * min_d)
                 world, pairs_dropped = record_collision_pairs(world, nbr, rec, cfg)
+                # Enter/Stay/Exit set-diff ON DEVICE (ops/events.py): the
+                # host reads three compact tables instead of pulling the
+                # whole pair list and diffing in numpy every frame
+                from .ops.events import diff_pairs
+
+                enter, n_e, stay, n_s, exit_, n_x = diff_pairs(
+                    world.collision_pairs, world.collision_pair_count,
+                    world.prev_collision_pairs, world.prev_collision_pair_count,
+                )
+                world = world.replace(
+                    prev_collision_pairs=world.collision_pairs,
+                    prev_collision_pair_count=world.collision_pair_count,
+                    event_enter=enter, event_enter_count=n_e,
+                    event_stay=stay, event_stay_count=n_s,
+                    event_exit=exit_, event_exit_count=n_x,
+                )
             else:
                 pairs_dropped = jnp.int32(0)
 
@@ -1009,28 +1063,36 @@ class Engine:
     # collision Enter/Stay/Exit dispatch (logic_worker.js:417-526)
     # ------------------------------------------------------------------
     def _dispatch_collision_events(self) -> None:
-        count = int(jax.device_get(self.world.collision_pair_count))
-        pairs = np.asarray(
-            jax.device_get(self.world.collision_pairs[:count])
-        ).astype(np.int64)
-        n = self.world.n_entities
-        cur = np.sort(pairs[:, 0] * n + pairs[:, 1]) if count else np.empty(
-            (0,), np.int64
-        )
-        prev = self._prev_pairs
-        enters = np.setdiff1d(cur, prev, assume_unique=True)
-        stays = np.intersect1d(cur, prev, assume_unique=True)
-        exits = np.setdiff1d(prev, cur, assume_unique=True)
-        self._prev_pairs = cur
-        if not (len(enters) or len(stays) or len(exits)):
+        """Pull the device-diffed event tables (ops/events.py) and fire the
+        user hooks. Per-frame device traffic is three counts plus the actual
+        event rows — not the full pair table."""
+        if not any(
+            getattr(reg.cls, h, None) is not None
+            for reg in self.classes.values()
+            for h in ("on_collision_enter", "on_collision_stay", "on_collision_exit")
+        ):
             return
+        w = self.world
+        n_e, n_s, n_x = (
+            int(v) for v in jax.device_get(
+                (w.event_enter_count, w.event_stay_count, w.event_exit_count)
+            )
+        )
+        if not (n_e or n_s or n_x):
+            return
+        enters, stays, exits = (
+            np.asarray(t) for t in jax.device_get(
+                (w.event_enter[:n_e], w.event_stay[:n_s], w.event_exit[:n_x])
+            )
+        )
+        ctx = CollisionEventCtx(
+            self, np.concatenate([enters, stays, exits]) if (n_e or n_s or n_x)
+            else np.empty((0, 2), np.int64)
+        )
 
-        ctx = CollisionEventCtx(self)
-
-        def fire(keys: np.ndarray, hook_name: str) -> None:
-            for key in keys:
-                a, b = int(key // n), int(key % n)
-                for me, other in ((a, b), (b, a)):
+        def fire(pairs: np.ndarray, hook_name: str) -> None:
+            for a, b in pairs:
+                for me, other in ((int(a), int(b)), (int(b), int(a))):
                     reg = self._class_of_index(me)
                     hook = getattr(reg.cls, hook_name, None)
                     if hook is not None:
@@ -1062,7 +1124,6 @@ class Engine:
         self._emission_fn = None
         self._initialized = False
         self._pending_ops.clear()
-        self._prev_pairs = np.empty((0,), np.int64)
         self._prev_onscreen = None
         self.emitter.clear()
         for reg in self.classes.values():

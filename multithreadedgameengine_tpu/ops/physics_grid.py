@@ -94,13 +94,19 @@ def _shard_spatial_rows(arr: jnp.ndarray, cfg: EngineConfig) -> jnp.ndarray:
     )
 
 
-def pack_solver_rows(world: World) -> jnp.ndarray:
+def pack_solver_rows(world: World, gid: jnp.ndarray = None) -> jnp.ndarray:
     """Pack the solver's per-entity attributes into [N, 8] f32 rows:
     (x, y, px, py, radius, flags, gid, 0). One row-scatter of these into grid
     layout replaces all per-field gathers (see grid_constraints notes).
-    Flags and the entity id ride as exact small floats."""
+    Flags and the entity id ride as exact small floats.
+
+    ``gid``: optional GLOBAL entity ids for chunk-local worlds (the halo path
+    packs per-device [N/D] chunks whose ids must stay globally unique for the
+    pair-identity test and the overlap-jitter hash)."""
     t, rb, c = world.transform, world.rigid_body, world.collider
     n = t.x.shape[0]
+    if gid is None:
+        gid = jnp.arange(n, dtype=jnp.int32)
     if n >= (1 << 24):
         raise ValueError("grid solver packs entity ids into f32: N must be < 2^24")
     flags = (
@@ -112,7 +118,7 @@ def pack_solver_rows(world: World) -> jnp.ndarray:
     return jnp.stack(
         [
             t.x, t.y, rb.px, rb.py, c.radius, flags,
-            jnp.arange(n, dtype=jnp.float32),  # gid (exact: n < 2^24)
+            gid.astype(jnp.float32),  # exact: global id < 2^24
             jnp.zeros((n,), jnp.float32),
         ],
         axis=1,
@@ -278,7 +284,9 @@ def run_solver_substeps(
             cnt + jnp.pad(sub_cnt, pad),
         )
 
-    init = (gx, gy, gpx, gpy, jnp.zeros(gx.shape, jnp.int32))
+    # count init derives from a grid channel (not a fresh zeros) so its
+    # varying-manual-axes type matches the loop body under shard_map
+    init = (gx, gy, gpx, gpy, gid * 0)
     return jax.lax.fori_loop(
         0, ph.sub_step_count, substep_pallas if use_pallas else substep, init
     )

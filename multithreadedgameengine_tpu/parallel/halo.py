@@ -1,0 +1,591 @@
+"""Explicit spatial-domain multi-chip step: shard_map + all_to_all routing +
+ppermute halo exchange (SURVEY.md §5.7, §7 step 7 — BASELINE config 5).
+
+This is the second rung of the scale ladder, past the entity-sharded GSPMD
+path (parallel/sharded.py): instead of replicating the spatial table on every
+device, the WORLD is decomposed into horizontal slabs (contiguous blocks of
+grid rows); each device owns one slab and materializes only its slab's share
+of the neighbor table and solver grid — 1/D of the memory — with explicitly
+exchanged halo rows standing in for the reference's cross-worker reads of the
+shared grid (spatial_worker.js:122-278 read by every worker).
+
+Reference mechanisms being mapped:
+ - work distribution over entities (gameEngine.js:744-761 job queue)
+   → all_to_all routing of entity rows to the device owning their world slab;
+ - the one shared hash grid every worker reads (spatial_worker.js:122-278)
+   → per-slab tables + ppermute'd boundary rows (the halo);
+ - rebuild-every-frame (spatial_worker.js:283-294) → re-route every frame, so
+   slabs stay coherent as entities move.
+
+Design (one shard_map over the whole step; entity leaves sharded [N/D]):
+
+  phase A (logic): route each ACTIVE entity's full packed component row to
+    the device owning its SPATIAL grid row (pre-move position, exactly the
+    rows the single-device spatial pass bins). The slab builds its local
+    neighbor table, ppermutes ``hw`` boundary table-row blocks to fill halos,
+    candidate-gathers and ticks its residents (run_logic_phase_masked), then
+    routes the updated rows home. Binning, scan order, truncation and float
+    arithmetic reproduce the single-device path bit-for-bit: global cell
+    coordinates are computed from the SAME ``clip(y * inv)`` truncation and
+    only then offset to slab-local indices, and resident order (source-major,
+    index-ascending) preserves global-id order inside every cell.
+  elementwise (home): animation advance, Verlet move — no communication.
+  phase B (solver): route the 8-channel solver rows (pack_solver_rows) by
+    POST-move position to the slab owner; scatter into the slab's bordered
+    grid; exchange full border rows once, then refresh halo x/y via ppermute
+    inside every substep (positions move, attributes don't); run the shared
+    substep kernel (ops/physics_grid.run_solver_substeps); route x/y/px/py/
+    collision_count home.
+  elementwise (home): derived velocity/angle, screen culling, metrics (psum).
+
+Routing capacity: each (source, destination) pair gets ``ceil(n_loc/D ·
+oversub)`` row slots. Entities beyond it stay home for the frame and degrade
+to boundary-only physics / tick-less logic — the same "capacity overflow"
+class as cell-capacity drops, surfaced in the metrics (route_overflow_*).
+
+Unsupported under this step (the engine's single-chip fused step covers
+them): collision-event pair recording, shadow sprites, device-side "emit"
+(raises at trace), and ``ctx.gather`` of undeclared neighbor fields (global
+ids cannot index local rows — declare fields in ``neighbor_fields``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..behavior import read_field, run_logic_phase_masked
+from ..config import EngineConfig
+from ..state import World
+from ..ops.spatial import (
+    GridGeom,
+    NeighborLists,
+    NeighborPayload,
+    _cap_first_k,
+    bin_entities,
+)
+from ..ops.physics_grid import (
+    _boundary,
+    pack_solver_rows,
+    run_solver_substeps,
+    scatter_solver_grid,
+)
+
+_ENTITY_COMPONENTS = (
+    "transform", "rigid_body", "collider", "sprite", "mouse", "light", "shadow"
+)
+
+
+# ---------------------------------------------------------------------------
+# packed-row transport: every per-entity component field as one int32 lane
+# (f32/u32 bitcast, bool/int widened) — one row-scatter to stage, one
+# all_to_all to move, exact round-trip.
+# ---------------------------------------------------------------------------
+
+def entity_leaf_specs(world: World) -> List[Tuple[str, str, Any]]:
+    """Deterministic [(component, field, dtype)] order over every per-entity
+    leaf (built-ins then sorted custom components)."""
+    specs = []
+    for name in _ENTITY_COMPONENTS:
+        comp = getattr(world, name)
+        for f in dataclasses.fields(comp):
+            specs.append((name, f.name, getattr(comp, f.name).dtype))
+    for cname in sorted(world.custom):
+        comp = world.custom[cname]
+        for f in dataclasses.fields(comp):
+            specs.append((f"custom:{cname}", f.name, getattr(comp, f.name).dtype))
+    return specs
+
+
+def _get_comp(world: World, cname: str):
+    if cname.startswith("custom:"):
+        return world.custom[cname[7:]]
+    return getattr(world, cname)
+
+
+def pack_world_rows(world: World, specs) -> jnp.ndarray:
+    """[n, L] int32 rows: one lane per per-entity field."""
+    cols = []
+    for cname, fname, dt in specs:
+        arr = getattr(_get_comp(world, cname), fname)
+        dt = jnp.dtype(dt)
+        if dt == jnp.dtype(jnp.float32) or dt == jnp.dtype(jnp.uint32):
+            cols.append(jax.lax.bitcast_convert_type(arr, jnp.int32))
+        else:
+            cols.append(arr.astype(jnp.int32))
+    return jnp.stack(cols, axis=1)
+
+
+def unpack_world_rows(rows: jnp.ndarray, world: World, specs) -> World:
+    """Rebuild a world whose per-entity leaves are the [m] unpacked rows
+    (non-entity leaves carried from ``world``)."""
+    fields: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for k, (cname, fname, dt) in enumerate(specs):
+        col = rows[:, k]
+        dt = jnp.dtype(dt)
+        if dt == jnp.dtype(jnp.float32) or dt == jnp.dtype(jnp.uint32):
+            arr = jax.lax.bitcast_convert_type(col, dt)
+        elif dt == jnp.dtype(jnp.bool_):
+            arr = col != 0
+        else:
+            arr = col.astype(dt)
+        fields.setdefault(cname, {})[fname] = arr
+    built = {}
+    custom = dict(world.custom)
+    for cname, fs in fields.items():
+        comp = _get_comp(world, cname).replace(**fs)
+        if cname.startswith("custom:"):
+            custom[cname[7:]] = comp
+        else:
+            built[cname] = comp
+    return world.replace(custom=custom, **built)
+
+
+# ---------------------------------------------------------------------------
+# routing primitives (inside shard_map)
+# ---------------------------------------------------------------------------
+
+def _rank_within_dest(dest: jnp.ndarray, valid: jnp.ndarray, n_dest: int) -> jnp.ndarray:
+    """Rank of each row among same-destination rows, in row order (the same
+    sort-and-run-scan used by bin_entities — preserves ascending-index order
+    within a destination, which keeps within-cell ranks globally identical)."""
+    n = dest.shape[0]
+    key = jnp.where(valid, dest, n_dest).astype(jnp.int32)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    sorted_key = key[order]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_key[1:] != sorted_key[:-1]]
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, ar, 0)
+    )
+    rank_sorted = ar - run_start
+    inv = jnp.argsort(order).astype(jnp.int32)
+    return rank_sorted[inv]
+
+
+def route_out(rows, dest, valid, n_dev, cap, axis):
+    """Send row i to device dest[i]. Returns (recv [D·cap, L] — source-major
+    blocks, empty slots all-zero; sent_slot [n] — my flat send slot or -1;
+    overflow count)."""
+    rank = _rank_within_dest(dest, valid, n_dev)
+    ok = valid & (rank < cap)
+    slot = jnp.where(ok, dest * cap + rank, n_dev * cap)
+    send = (
+        jnp.zeros((n_dev * cap, rows.shape[1]), rows.dtype)
+        .at[slot].set(rows, mode="drop")
+    )
+    recv = jax.lax.all_to_all(
+        send.reshape(n_dev, cap, rows.shape[1]), axis, 0, 0
+    ).reshape(n_dev * cap, rows.shape[1])
+    overflow = jnp.sum(valid & ~ok, dtype=jnp.int32)
+    return recv, jnp.where(ok, slot, -1), overflow
+
+
+def route_back(out_rows, sent_slot, n_dev, cap, axis):
+    """Reverse of route_out: every processed resident row returns to its
+    source device and original slot. Returns (rows_for_my_sends [n, L],
+    valid mask)."""
+    back = jax.lax.all_to_all(
+        out_rows.reshape(n_dev, cap, out_rows.shape[1]), axis, 0, 0
+    ).reshape(n_dev * cap, out_rows.shape[1])
+    got = back[jnp.maximum(sent_slot, 0)]
+    return got, sent_slot >= 0
+
+
+def _edge_perms(n_dev: int):
+    down = [(i, i + 1) for i in range(n_dev - 1)]  # toward higher slabs
+    up = [(i, i + 1 - 2) for i in range(1, n_dev)]  # toward lower slabs
+    return down, up
+
+
+# ---------------------------------------------------------------------------
+# the halo step builder
+# ---------------------------------------------------------------------------
+
+def halo_world_specs(world: World, axis: str):
+    """PartitionSpec pytree: per-entity component leaves P(axis), everything
+    else replicated."""
+    specs = jax.tree.map(lambda _: P(), world)
+    ent = {
+        name: jax.tree.map(lambda _: P(axis), getattr(world, name))
+        for name in _ENTITY_COMPONENTS
+    }
+    ent["custom"] = {
+        k: jax.tree.map(lambda _: P(axis), v) for k, v in world.custom.items()
+    }
+    return specs.replace(**ent)
+
+
+def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0):
+    """Build the spatial-domain sharded step for an initialized engine.
+
+    Returns (step_fn, place_fn): ``place_fn(world)`` lays the world out over
+    the mesh (entity leaves split into [N/D] chunks); ``step_fn(world,
+    inputs) -> (world, metrics)`` is the jitted, donated halo step.
+    """
+    engine._require_init()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    world0 = engine.world
+    n = world0.n_entities
+    if n % n_dev != 0:
+        raise ValueError(
+            f"halo step needs entity count divisible by the mesh size "
+            f"({n} % {n_dev} != 0); pad a registration"
+        )
+    n_loc = n // n_dev
+
+    cfg = engine._resolve_spatial()
+    if cfg.spatial.method != "grid":
+        raise ValueError("halo step requires spatial.method='grid'")
+    if cfg.logic.collision_events:
+        raise ValueError(
+            "collision-event recording is not supported under the halo step "
+            "(single-chip fused step covers it)"
+        )
+    if cfg.lighting.enabled and cfg.lighting.shadows_enabled:
+        raise ValueError("shadow sprites are not supported under the halo step")
+    if cfg.physics.solver == "neighbors":
+        raise ValueError("halo step requires the grid constraint solver")
+    cfg, solver_geom, forced = engine._solver_plan(cfg)
+    if solver_geom is None or forced:
+        raise ValueError("halo step could not derive a solver geometry (no radii)")
+
+    payload_channels, extra_paths = engine._payload_plan(cfg)
+    type_specs = tuple(
+        (reg.cls, reg.entity_type)
+        for reg in engine.classes.values()
+        if reg.count > 0 and getattr(reg.cls, "tick", None) is not None
+    )
+    need_neighbors = any(
+        reg.count > 0
+        and getattr(reg.cls, "tick", None) is not None
+        and reg.cls.uses_neighbors
+        for reg in engine.classes.values()
+    )
+    frame_counts = engine._frame_counts()
+    specs = entity_leaf_specs(world0)
+    n_lanes = len(specs)
+
+    # --- slab geometry ---
+    sp = cfg.spatial
+    rows_g, cols_g = cfg.grid_rows, cfg.grid_cols
+    hw = max(1, sp.max_cell_radius)  # spatial halo width = candidate scan radius
+    rpd_sp = math.ceil(rows_g / n_dev)
+    if need_neighbors and hw > rpd_sp:
+        raise ValueError(
+            f"spatial halo width {hw} exceeds rows-per-slab {rpd_sp}: "
+            f"too many devices for this grid (rows={rows_g})"
+        )
+    rows_loc = rpd_sp + 2 * hw
+    cells_loc = rows_loc * cols_g
+    geom_sp_loc = GridGeom(
+        cell_size=sp.cell_size, rows=rows_loc, cols=cols_g,
+        capacity=sp.cell_capacity,
+    )
+
+    R_s, C_s, cap_s = solver_geom.rows, solver_geom.cols, solver_geom.capacity
+    rps = math.ceil(R_s / n_dev)
+    geom_s_loc = GridGeom(
+        cell_size=solver_geom.cell_size, rows=rps, cols=C_s, capacity=cap_s
+    )
+
+    def _cap_route(base: int) -> int:
+        cap = math.ceil(base * oversub / n_dev)
+        return int(min(max(((cap + 7) // 8) * 8, 8), base))
+
+    cap_a = _cap_route(n_loc)
+    cap_b = _cap_route(n_loc)
+    down_perm, up_perm = _edge_perms(n_dev)
+
+    inv_sp = 1.0 / sp.cell_size
+    inv_s = 1.0 / solver_geom.cell_size
+    f32 = jnp.float32
+
+    # ------------------------------------------------------------------
+    # phase A: neighbor tables + ticks on slab residents
+    # ------------------------------------------------------------------
+    def phase_a(chunk: World, inputs, d):
+        t = chunk.transform
+        finite = jnp.isfinite(t.x) & jnp.isfinite(t.y)
+        grow = jnp.clip((t.y * inv_sp).astype(jnp.int32), 0, rows_g - 1)
+        dest = jnp.where(
+            finite, jnp.minimum(grow // rpd_sp, n_dev - 1), d
+        )
+        gid = d * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+        rows = jnp.concatenate(
+            [pack_world_rows(chunk, specs), gid[:, None]], axis=1
+        )
+        recv, sent_slot, ovf = route_out(rows, dest, t.active, n_dev, cap_a, axis)
+        res_gid = recv[:, -1]
+        local = unpack_world_rows(recv[:, :-1], chunk, specs)
+
+        lt = local.transform
+        res_fin = jnp.isfinite(lt.x) & jnp.isfinite(lt.y)
+        valid_ent = lt.active & res_fin
+
+        # local table: GLOBAL truncation, then slab offset (bit-exact binning)
+        grow_r = jnp.clip((lt.y * inv_sp).astype(jnp.int32), 0, rows_g - 1)
+        gcol_r = jnp.clip((lt.x * inv_sp).astype(jnp.int32), 0, cols_g - 1)
+        loc_row = jnp.clip(grow_r - d * rpd_sp + hw, 0, rows_loc - 1)
+        extras = [jnp.asarray(read_field(local, p), f32) for p in extra_paths]
+        rows_vals = jnp.stack(
+            [res_gid.astype(f32), lt.x, lt.y] + extras, axis=1
+        )
+        bins = bin_entities(
+            lt.x, lt.y, valid_ent, geom_sp_loc, table_values=rows_vals,
+            row=loc_row, col=gcol_r,
+        )
+
+        # halo: boundary table-row blocks from the slab neighbors
+        n_ch = rows_vals.shape[1]
+        body = bins.table[:cells_loc].reshape(
+            rows_loc, cols_g, sp.cell_capacity, n_ch
+        )
+        from_up = jax.lax.ppermute(body[rpd_sp : rpd_sp + hw], axis, down_perm)
+        from_dn = jax.lax.ppermute(body[hw : 2 * hw], axis, up_perm)
+        body = body.at[0:hw].set(from_up)
+        body = body.at[hw + rpd_sp : 2 * hw + rpd_sp].set(from_dn)
+        table = jnp.concatenate(
+            [body.reshape(cells_loc, sp.cell_capacity, n_ch),
+             bins.table[cells_loc:]],
+            axis=0,
+        )
+
+        # candidate gather: row-major (2hw+1)² neighborhood, global bounds
+        # (the zero-filled edge halos are never addressed — out-of-world rows
+        # mask to the sentinel cell)
+        offs = jnp.arange(-hw, hw + 1, dtype=jnp.int32)
+        off_r = jnp.repeat(offs, 2 * hw + 1)
+        off_c = jnp.tile(offs, 2 * hw + 1)
+        cand_grow = grow_r[:, None] + off_r[None, :]
+        cand_gcol = gcol_r[:, None] + off_c[None, :]
+        in_b = (
+            (cand_grow >= 0) & (cand_grow < rows_g)
+            & (cand_gcol >= 0) & (cand_gcol < cols_g)
+        )
+        cand_lrow = cand_grow - d * rpd_sp + hw
+        cand_cell = jnp.where(in_b, cand_lrow * cols_g + cand_gcol, cells_loc)
+        flat = table[cand_cell]  # [m, B, cap, F] — one row-gather
+        flat = flat.reshape(lt.x.shape[0], -1, n_ch)
+        cand = flat[..., 0].astype(jnp.int32)
+        dx = flat[..., 1] - lt.x[:, None]
+        dy = flat[..., 2] - lt.y[:, None]
+        d2 = dx * dx + dy * dy
+        vr2 = (local.collider.visual_range ** 2)[:, None]
+        ok = (
+            (cand >= 0)
+            & (cand != res_gid[:, None])
+            & (d2 < vr2)
+            & (d2 > 0)
+            & valid_ent[:, None]
+        )
+        ids, d2_out, count = _cap_first_k(cand, d2, ok, sp.max_neighbors)
+        nbr = NeighborLists(
+            ids=ids, d2=d2_out, count=count, n_binned=bins.n_binned,
+            payload=NeighborPayload(data=flat),
+        )
+
+        local = run_logic_phase_masked(
+            local, nbr, inputs, cfg, type_specs, payload_channels
+        )
+
+        out_rows = pack_world_rows(local, specs)
+        got, got_ok = route_back(out_rows, sent_slot, n_dev, cap_a, axis)
+        merged = jnp.where(got_ok[:, None], got, rows[:, :n_lanes])
+        chunk = unpack_world_rows(merged, chunk, specs)
+        return chunk, bins.n_binned, ovf
+
+    # ------------------------------------------------------------------
+    # phase A': tick without neighbor tables (classes with
+    # uses_neighbors=False — no routing needed, ticks run at home)
+    # ------------------------------------------------------------------
+    def phase_a_local(chunk: World, inputs, d):
+        m = n_loc
+        empty = NeighborLists(
+            ids=jnp.full((m, 1), -1, jnp.int32),
+            d2=jnp.zeros((m, 1), f32),
+            count=jnp.zeros((m,), jnp.int32),
+            n_binned=jnp.int32(-1),
+            payload=NeighborPayload(data=jnp.zeros((m, 1, 0), f32)),
+        )
+        chunk = run_logic_phase_masked(
+            chunk, empty, inputs, cfg, type_specs, payload_channels
+        )
+        return chunk, jnp.int32(-1), jnp.int32(0)
+
+    # ------------------------------------------------------------------
+    # phase B: solver grid with per-substep halo refresh
+    # ------------------------------------------------------------------
+    def phase_b(chunk: World, d):
+        t, rb, c = chunk.transform, chunk.rigid_body, chunk.collider
+        finite = jnp.isfinite(t.x) & jnp.isfinite(t.y)
+        valid = t.active & finite
+        gid = d * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+        packed = pack_solver_rows(chunk, gid=gid)
+        packed = packed.at[:, 7].set(1.0)  # occupancy lane
+        grow = jnp.clip((t.y * inv_s).astype(jnp.int32), 0, R_s - 1)
+        dest = jnp.minimum(grow // rps, n_dev - 1)
+        rows_i = jax.lax.bitcast_convert_type(packed, jnp.int32)
+        recv, sent_slot, ovf = route_out(rows_i, dest, valid, n_dev, cap_b, axis)
+        res = jax.lax.bitcast_convert_type(recv, f32)  # [m, 8]
+        res_valid = res[:, 7] > 0
+        rx, ry = res[:, 0], res[:, 1]
+
+        grow_r = jnp.clip((ry * inv_s).astype(jnp.int32), 0, R_s - 1)
+        gcol_r = jnp.clip((rx * inv_s).astype(jnp.int32), 0, C_s - 1)
+        lrow = jnp.clip(grow_r - d * rps, 0, rps - 1)
+        bins = bin_entities(
+            rx, ry, res_valid, geom_s_loc, build_table=False,
+            row=lrow, col=gcol_r,
+        )
+        flat_cells = (rps + 2) * (C_s + 2) * cap_s
+        in_grid = res_valid & (bins.rank < cap_s)
+        flat_idx = ((bins.row + 1) * (C_s + 2) + (bins.col + 1)) * cap_s + bins.rank
+        flat_idx = jnp.where(in_grid, flat_idx, flat_cells)
+        grid = scatter_solver_grid(res, flat_idx, rps, C_s, cap_s)
+
+        # border rows <- neighbor slabs' edge rows (full channels, once)
+        def fill_border(g):
+            fu = jax.lax.ppermute(g[rps : rps + 1], axis, down_perm)
+            fd = jax.lax.ppermute(g[1:2], axis, up_perm)
+            return g.at[0:1].set(fu).at[rps + 1 : rps + 2].set(fd)
+
+        grid = fill_border(grid)
+
+        def halo_xy(gx, gy):
+            st = jnp.stack([gx, gy], axis=0)
+            fu = jax.lax.ppermute(st[:, rps : rps + 1], axis, down_perm)
+            fd = jax.lax.ppermute(st[:, 1:2], axis, up_perm)
+            st = st.at[:, 0:1].set(fu).at[:, rps + 1 : rps + 2].set(fd)
+            return st[0], st[1]
+
+        gx, gy, gpx, gpy, gcnt = run_solver_substeps(
+            grid, geom_s_loc, cfg, chunk.step_count.astype(jnp.uint32),
+            halo_xy=halo_xy, shard_hints=False,
+        )
+
+        out_flat = jnp.stack([gx, gy, gpx, gpy], axis=-1).reshape(flat_cells, 4)
+        cnt_flat = gcnt.reshape(flat_cells)
+        safe_idx = jnp.where(in_grid, flat_idx, 0)
+        out_rows = out_flat[safe_idx]
+        ret = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(out_rows, jnp.int32),
+                cnt_flat[safe_idx][:, None],
+                in_grid.astype(jnp.int32)[:, None],
+            ],
+            axis=1,
+        )
+        got, got_ok = route_back(ret, sent_slot, n_dev, cap_b, axis)
+        solved = got_ok & (got[:, 5] > 0)
+        hx = jax.lax.bitcast_convert_type(got[:, 0], f32)
+        hy = jax.lax.bitcast_convert_type(got[:, 1], f32)
+        hpx = jax.lax.bitcast_convert_type(got[:, 2], f32)
+        hpy = jax.lax.bitcast_convert_type(got[:, 3], f32)
+
+        moving = t.active & rb.active & ~rb.static
+        new_x = jnp.where(solved, hx, t.x)
+        new_y = jnp.where(solved, hy, t.y)
+        new_px = jnp.where(solved, hpx, rb.px)
+        new_py = jnp.where(solved, hpy, rb.py)
+        new_cc = jnp.where(solved, got[:, 4], 0)
+
+        # overflow (route or cell capacity): boundary-only fallback, exactly
+        # the single-device degradation class (ops/physics_grid.py)
+        over = valid & ~solved
+        ph = cfg.physics
+        fx, fpx = _boundary(t.x, rb.px, c.radius, cfg.world_width, moving & over, ph.boundary_elasticity)
+        fy, fpy = _boundary(t.y, rb.py, c.radius, cfg.world_height, moving & over, ph.boundary_elasticity)
+        new_x = jnp.where(over, fx, new_x)
+        new_y = jnp.where(over, fy, new_y)
+        new_px = jnp.where(over, fpx, new_px)
+        new_py = jnp.where(over, fpy, new_py)
+
+        chunk = chunk.replace(
+            transform=t.replace(x=new_x, y=new_y),
+            rigid_body=rb.replace(px=new_px, py=new_py, collision_count=new_cc),
+        )
+        return chunk, jnp.sum(solved, dtype=jnp.int32), ovf
+
+    # ------------------------------------------------------------------
+    # the whole step per device
+    # ------------------------------------------------------------------
+    from ..ops.culling import update_entity_visibility
+    from ..ops.physics import update_derived, verlet_move
+    from ..render.extract import advance_animation
+
+    def local_step(chunk: World, inputs):
+        d = jax.lax.axis_index(axis).astype(jnp.int32)
+        if need_neighbors:
+            chunk, n_binned, ovf_a = phase_a(chunk, inputs, d)
+            n_binned = jax.lax.psum(n_binned, axis)
+        else:
+            chunk, n_binned, ovf_a = phase_a_local(chunk, inputs, d)
+        chunk = advance_animation(chunk, frame_counts, cfg.dt_ratio)
+        chunk = verlet_move(chunk, cfg, cfg.dt_ratio)
+        chunk, solver_binned, ovf_b = phase_b(chunk, d)
+        chunk = update_derived(chunk, cfg)
+        chunk = update_entity_visibility(chunk, cfg, inputs)
+        chunk = chunk.replace(step_count=chunk.step_count + 1)
+        t = chunk.transform
+        metrics = {
+            "active_count": jax.lax.psum(
+                jnp.sum(t.active, dtype=jnp.int32), axis
+            ),
+            "collision_pair_count": jnp.int32(0),
+            "collision_pairs_dropped": jnp.int32(0),
+            "n_binned": n_binned,
+            "active_particles": jnp.int32(-1),
+            "nonfinite_count": jax.lax.psum(
+                jnp.sum(
+                    t.active & ~(jnp.isfinite(t.x) & jnp.isfinite(t.y)),
+                    dtype=jnp.int32,
+                ),
+                axis,
+            ),
+            "solver_binned": jax.lax.psum(solver_binned, axis),
+            "route_overflow_logic": jax.lax.psum(ovf_a, axis),
+            "route_overflow_solver": jax.lax.psum(ovf_b, axis),
+        }
+        return chunk, metrics
+
+    w_specs = halo_world_specs(world0, axis)
+    in_specs = (w_specs, jax.tree.map(lambda _: P(), engine.input.snapshot()))
+    out_specs = (w_specs, {k: P() for k in (
+        "active_count", "collision_pair_count", "collision_pairs_dropped",
+        "n_binned", "active_particles", "nonfinite_count", "solver_binned",
+        "route_overflow_logic", "route_overflow_solver",
+    )})
+
+    from ..engine import apply_inputs
+
+    def full_step(world: World, inputs):
+        world = apply_inputs(world, inputs)
+        return jax.shard_map(
+            local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        )(world, inputs)
+
+    w_shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), w_specs)
+    rep = NamedSharding(mesh, P())
+    step_fn = jax.jit(
+        full_step,
+        in_shardings=(w_shardings, jax.tree.map(lambda _: rep, engine.input.snapshot())),
+        out_shardings=(w_shardings, jax.tree.map(lambda _: rep, out_specs[1])),
+        donate_argnums=0,
+    )
+
+    def place_fn(world: World) -> World:
+        return jax.tree.map(
+            lambda leaf, s: jax.device_put(leaf, s), world, w_shardings
+        )
+
+    return step_fn, place_fn

@@ -62,6 +62,18 @@ class World:
     # (collisionData SAB analog: [count, a0,b0, a1,b1, ...], gameEngine.js:689-693)
     collision_pairs: jnp.ndarray  # int32[max_pairs, 2], -1 padded
     collision_pair_count: jnp.ndarray  # int32 scalar
+    # previous frame's pair table + the device-diffed Enter/Stay/Exit event
+    # tables (logic_worker.js:417-526 prev/current Sets — kept ON DEVICE so
+    # the host only reads three compact tables; [0, 2]-shaped when
+    # logic.collision_events is off). See ops/events.py.
+    prev_collision_pairs: jnp.ndarray  # int32[max_pairs|0, 2]
+    prev_collision_pair_count: jnp.ndarray  # int32 scalar
+    event_enter: jnp.ndarray  # int32[max_pairs|0, 2], -1 padded
+    event_enter_count: jnp.ndarray  # int32 scalar
+    event_stay: jnp.ndarray
+    event_stay_count: jnp.ndarray
+    event_exit: jnp.ndarray
+    event_exit_count: jnp.ndarray
     # decal tilemap (bloodTiles RGBA + dirty SABs analog, gameEngine.js:636-676)
     # — [1,1,...] placeholders when decals are disabled
     decal_canvas: jnp.ndarray  # uint8[H_px, W_px, 4]
@@ -83,11 +95,14 @@ def make_world(
     decal_canvas_shape: Tuple[int, int] = (1, 1),
     decal_tile_shape: Tuple[int, int] = (1, 1),
     n_shadow_sprites: int = 0,
+    event_tables: bool = False,
 ) -> World:
     custom = {
         name: cls.zeros(n_entities)
         for name, cls in (custom_components or {}).items()
     }
+    ev = max_collision_pairs if event_tables else 0
+    ev_table = lambda: jnp.full((ev, 2), -1, jnp.int32)
     return World(
         transform=Transform.zeros(n_entities),
         rigid_body=RigidBody.zeros(n_entities),
@@ -102,6 +117,14 @@ def make_world(
         step_count=jnp.zeros((), jnp.int32),
         collision_pairs=jnp.full((max_collision_pairs, 2), -1, jnp.int32),
         collision_pair_count=jnp.zeros((), jnp.int32),
+        prev_collision_pairs=ev_table(),
+        prev_collision_pair_count=jnp.zeros((), jnp.int32),
+        event_enter=ev_table(),
+        event_enter_count=jnp.zeros((), jnp.int32),
+        event_stay=ev_table(),
+        event_stay_count=jnp.zeros((), jnp.int32),
+        event_exit=ev_table(),
+        event_exit_count=jnp.zeros((), jnp.int32),
         decal_canvas=jnp.zeros((*decal_canvas_shape, 4), jnp.uint8),
         decal_dirty=jnp.zeros(decal_tile_shape, jnp.bool_),
         shadow_sprites=ShadowSprites.zeros(n_shadow_sprites),
