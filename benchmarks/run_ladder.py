@@ -140,17 +140,24 @@ def rung_boids(n_boids: int = 15_000, chunk: int = 20) -> dict:
     }
 
 
-def rung_predators(n_prey: int = 15_000, frames: int = 60, events: bool = True) -> dict:
+def rung_predators(
+    n_prey: int = 15_000, frames: int = 60, events: bool = True,
+    event_chunk: int = 30,
+) -> dict:
     import numpy as np
 
     from multithreadedgameengine_tpu.models.predators import make_predators_engine
 
-    over = {"logic": dict(collision_events=True)} if events else {}
+    over = (
+        {"logic": dict(collision_events=True, event_chunk=event_chunk)}
+        if events else {}
+    )
     eng = make_predators_engine(n_prey=n_prey, **over)
     eng.step(5, block=True)
-    # events force per-frame stepping (host dispatch each frame) — time the
-    # REAL interactive loop, not a chunked fori
-    eng.step(5)
+    # with events on, stepping runs through the device event LOG
+    # (logic.event_chunk frames per host roundtrip, every frame's
+    # Enter/Stay/Exit dispatched — blood bursts included)
+    eng.step(event_chunk if events else 5)
     eng.sync()
     t0 = time.time()
     eng.step(frames)

@@ -93,6 +93,17 @@ class LogicConfig:
     main_thread_max_jobs_per_frame: int = 0
     collision_events: bool = False
     screen_events: bool = False
+    # TPU-only: with collision_events on, run device chunks of this many
+    # frames per host roundtrip, accumulating EVERY frame's Enter/Stay/Exit
+    # tables in a device log and dispatching them (in frame order) after the
+    # chunk. 1 = dispatch every frame (exact reference timing; each frame
+    # pays a host sync). >1 amortizes the device roundtrip — events are
+    # still per-frame-accurate data, but hooks run up to chunk-1 frames
+    # late and their control-plane effects (emissions, spawns) land at the
+    # chunk boundary.
+    event_chunk: int = 1
+    # log capacity per frame per event kind under chunked stepping
+    max_events_per_frame: int = 1024
 
 
 @dataclass(frozen=True)

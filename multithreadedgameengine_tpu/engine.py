@@ -114,10 +114,20 @@ class CollisionEventCtx:
         self.emitter = engine.emitter
         ids = np.unique(np.asarray(participant_ids, np.int64).ravel())
         ids = ids[ids >= 0]
-        w = engine.world
-        xs, ys, ts = jax.device_get((
-            w.transform.x[ids], w.transform.y[ids], w.transform.entity_type[ids]
-        ))
+        # bucket to a power of two and gather through ONE cached jitted
+        # program — unjitted gathers would recompile for every new
+        # participant count (seconds per frame under the axon tunnel)
+        b = 1 << max(0, int(len(ids) - 1).bit_length())
+        idx = np.zeros((b,), np.int32)
+        idx[: len(ids)] = ids
+        fn = engine._event_gather_fns.get(b)
+        if fn is None:
+            fn = jax.jit(
+                lambda w, i: (w.transform.x[i], w.transform.y[i],
+                              w.transform.entity_type[i])
+            )
+            engine._event_gather_fns[b] = fn
+        xs, ys, ts = jax.device_get(fn(engine.world, jnp.asarray(idx)))
         self.x = _RowView({int(i): float(v) for i, v in zip(ids, np.asarray(xs))})
         self.y = _RowView({int(i): float(v) for i, v in zip(ids, np.asarray(ys))})
         self.entity_type = _RowView(
@@ -187,6 +197,9 @@ class Engine:
         self._initialized = False
         self._step_fn = None
         self._step_n_fn = None
+        self._event_chunk_fns: Dict[int, Any] = {}
+        self._flush_fns: Dict[Any, Any] = {}
+        self._event_gather_fns: Dict[int, Any] = {}
         self._pending_ops: List[Tuple[str, Any]] = []
         # largest collider radius ever written host-side: sizes the grid
         # solver's geometry; a larger later spawn forces a step rebuild
@@ -475,13 +488,9 @@ class Engine:
         columns["transform.active"] = np.ones(n, bool)
         self._track_radius(columns)
 
-        world = self.world
-        for path, vals in columns.items():
-            arr = read_field(world, path)
-            world = write_field(
-                world, path, arr.at[idx].set(jnp.asarray(vals, arr.dtype))
-            )
-        self.world = world
+        self.world = self._apply_columns(
+            self.world, {path: (idx, np.asarray(vals)) for path, vals in columns.items()}
+        )
         return idx
 
     def despawn(self, index: int) -> None:
@@ -507,7 +516,7 @@ class Engine:
             [self.classes[class_name]] if class_name else list(self.classes.values())
         )
         active = np.asarray(jax.device_get(self.world.transform.active))
-        world = self.world
+        cols: Dict[str, List[np.ndarray]] = {}
         for reg in regs:
             if reg.cls is Mouse or reg.count == 0:
                 continue
@@ -519,24 +528,23 @@ class Engine:
             if reg.cls.on_despawned.__func__ is not EntityClass.on_despawned.__func__:
                 for i in idxs:
                     reg.cls.on_despawned(int(i))
-            dev_idx = jnp.asarray(idxs, jnp.int32)
-            off = jnp.zeros((idxs.size,), jnp.bool_)
-            world = write_field(
-                world, "transform.active",
-                read_field(world, "transform.active").at[dev_idx].set(off),
-            )
+            cols.setdefault("transform.active", []).append(idxs)
             for comp_path in reg.component_paths:
                 comp = (
-                    getattr(world, comp_path)
-                    if hasattr(world, comp_path)
-                    else world.custom[comp_path]
+                    getattr(self.world, comp_path)
+                    if hasattr(self.world, comp_path)
+                    else self.world.custom[comp_path]
                 )
                 if hasattr(comp, "active"):
-                    world = write_field(
-                        world, f"{comp_path}.active",
-                        read_field(world, f"{comp_path}.active").at[dev_idx].set(off),
-                    )
-        self.world = world
+                    cols.setdefault(f"{comp_path}.active", []).append(idxs)
+        if cols:
+            self.world = self._apply_columns(self.world, {
+                path: (
+                    np.concatenate(parts).astype(np.int32),
+                    np.zeros(sum(p.size for p in parts), np.float32),
+                )
+                for path, parts in cols.items()
+            })
 
     def _class_of_index(self, index: int) -> RegisteredClass:
         for reg in self.classes.values():
@@ -576,6 +584,10 @@ class Engine:
         }
 
     def _flush_pending(self) -> None:
+        """Apply queued spawn/despawn writes as ONE compiled scatter program
+        (cached per path-set + padded bucket sizes). Eagerly issuing ~25
+        separate .at[].set ops per flush costs a device dispatch each — at
+        churn rates (BASELINE config 2) that dominated the frame."""
         if not self._pending_ops:
             return
         by_path: Dict[str, Tuple[List[int], List[Any]]] = {}
@@ -596,17 +608,67 @@ class Engine:
                 idxs.append(idx)
                 vals.append(value)
         self._pending_ops.clear()
-        world = self.world
+
+        deduped: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         for path, (idxs, vals) in by_path.items():
-            arr = read_field(world, path)
+            np_idx = np.asarray(idxs, np.int32)
             np_vals = np.asarray(vals)
             if np_vals.dtype == object:
                 np_vals = np_vals.astype(np.float64)
-            new = arr.at[np.asarray(idxs, np.int32)].set(
-                jnp.asarray(np_vals, arr.dtype)
-            )
-            world = write_field(world, path, new)
-        self.world = world
+            # keep only the LAST write per index (spawn→despawn of one slot
+            # in a single flush; duplicate-index scatter order is undefined)
+            if len(np_idx) > 1:
+                _, last = np.unique(np_idx[::-1], return_index=True)
+                keep = np.sort(len(np_idx) - 1 - last)
+                np_idx, np_vals = np_idx[keep], np_vals[keep]
+            deduped[path] = (np_idx, np_vals)
+        self.world = self._apply_columns(self.world, deduped)
+
+    def _apply_columns(self, world: World, columns) -> World:
+        """Scatter {path: (indices, values)} into the world through ONE
+        compiled program and TWO host→device transfers (packed index/value
+        vectors) — per-path eager scatters each pay a tunnel dispatch, which
+        dominated pool-churn frames. Values travel as f32 (every field value
+        the control plane writes — flags, ids < 2^24, tints ≤ 0xFFFFFF,
+        positions — is f32-exact) and cast to the field dtype in-program.
+        Compiled programs cache by (paths, per-path bucket sizes)."""
+        names = tuple(sorted(columns))
+        buckets = []
+        idx_parts, val_parts = [], []
+        n = world.n_entities
+        for path in names:
+            np_idx, np_vals = columns[path]
+            b = 1 << max(0, int(np_idx.size - 1).bit_length())
+            buckets.append(b)
+            # pad slots point PAST the array (positive OOB drops under
+            # mode="drop"; -1 would WRAP to the last element and clobber it)
+            idx_pad = np.full((b,), n, np.int32)
+            idx_pad[: np_idx.size] = np_idx
+            val_pad = np.zeros((b,), np.float32)
+            val_pad[: np_vals.size] = np_vals.astype(np.float32)
+            idx_parts.append(idx_pad)
+            val_parts.append(val_pad)
+        idx_all = jnp.asarray(np.concatenate(idx_parts))
+        val_all = jnp.asarray(np.concatenate(val_parts))
+
+        key = (names, tuple(buckets))
+        fn = self._flush_fns.get(key)
+        if fn is None:
+            offs = np.concatenate([[0], np.cumsum(buckets)]).tolist()
+
+            def apply(world, idx_all, val_all):
+                for k, path in enumerate(names):
+                    arr = read_field(world, path)
+                    idx = idx_all[offs[k] : offs[k + 1]]
+                    vals = val_all[offs[k] : offs[k + 1]].astype(arr.dtype)
+                    world = write_field(
+                        world, path, arr.at[idx].set(vals, mode="drop")
+                    )
+                return world
+
+            fn = jax.jit(apply, donate_argnums=0)
+            self._flush_fns[key] = fn
+        return fn(world, idx_all, val_all)
 
     def _flush_emissions(self) -> None:
         batch, n = self.emitter.build_batch()
@@ -907,6 +969,90 @@ class Engine:
         self._one_step_raw = one_step
         self._step_fn = jax.jit(one_step, donate_argnums=0)
         self._step_n_fn = jax.jit(n_steps, donate_argnums=0)
+        self._event_chunk_fns = {}
+
+    def _event_chunk_fn(self, k: int):
+        """Compiled k-frame chunk with a per-frame event LOG: every frame's
+        Enter/Stay/Exit tables stack in device memory (lax.scan) and the host
+        pulls them once per chunk — amortizing the device roundtrip that
+        per-frame dispatch pays (the axon tunnel costs ~30 ms per sync; 60
+        steps/s with events is unreachable without this). Events stay
+        per-frame-accurate; hooks run at the chunk boundary
+        (logic.event_chunk docs)."""
+        fn = self._event_chunk_fns.get(k)
+        if fn is not None:
+            return fn
+        one_step = self._one_step_raw
+        cap = min(
+            self.config.logic.max_events_per_frame,
+            self.config.physics.max_collision_pairs,
+        )
+
+        def chunk(world: World, inputs: InputState):
+            def body(w, _):
+                w, metrics = one_step(w, inputs)
+                log = (
+                    w.event_enter[:cap], jnp.minimum(w.event_enter_count, cap),
+                    w.event_stay[:cap], jnp.minimum(w.event_stay_count, cap),
+                    w.event_exit[:cap], jnp.minimum(w.event_exit_count, cap),
+                )
+                return w, (log, metrics)
+
+            world, (logs, ms) = jax.lax.scan(body, world, None, length=k)
+            final_metrics = jax.tree.map(lambda a: a[-1], ms)
+            return world, logs, final_metrics
+
+        # NO donation: under the axon runtime, donating the world into this
+        # program intermittently fails with INVALID_ARGUMENT on its second
+        # execution when world leaves were read between chunks (sync/stats/
+        # event pulls all read leaves); an undonated copy of the world is a
+        # few MB at the scenes that use events
+        fn = jax.jit(chunk)
+        self._event_chunk_fns[k] = fn
+        return fn
+
+    def _step_events_chunked(self, n: int) -> Dict[str, Any]:
+        """step(n) with collision events via the device event log."""
+        self._flush_pending()
+        self._flush_emissions()
+        inputs = self.input.snapshot()
+        k_cfg = self.config.logic.event_chunk
+        remaining = n
+        metrics = self.metrics
+        has_hooks = self._has_collision_hooks()
+        while remaining > 0:
+            k = min(k_cfg, remaining)
+            remaining -= k
+            t0 = time.time()
+            fresh = k not in self._event_chunk_fns
+            fn = self._event_chunk_fn(k)
+            self.world, logs, metrics = fn(self.world, inputs)
+            if has_hooks:
+                (enter, n_e, stay, n_s, exit_, n_x) = (
+                    np.asarray(v) for v in jax.device_get(logs)
+                )
+                if int(n_e.sum() + n_s.sum() + n_x.sum()):
+                    ids = np.concatenate(
+                        [enter.reshape(-1, 2), stay.reshape(-1, 2),
+                         exit_.reshape(-1, 2)]
+                    )
+                    ctx = CollisionEventCtx(self, ids[ids[:, 0] >= 0])
+                    for f in range(k):
+                        self._fire_collision_tables(
+                            ctx,
+                            enter[f, : int(n_e[f])],
+                            stay[f, : int(n_s[f])],
+                            exit_[f, : int(n_x[f])],
+                        )
+                # hook control-plane effects land before the next chunk
+                self._flush_pending()
+                self._flush_emissions()
+            if not fresh:
+                self.timer.record((time.time() - t0) / k, k)
+            else:
+                self.timer.total_steps += k
+        self.metrics = metrics
+        return metrics
 
     def raw_step_fn(self):
         """The unjitted (world, inputs) -> (world, metrics) step, for harnesses
@@ -937,6 +1083,19 @@ class Engine:
             self.config.logic.collision_events or self.config.logic.screen_events
         )
         if events_on and n > 1:
+            if (
+                self.config.logic.collision_events
+                and self.config.logic.event_chunk > 1
+                and not self.config.logic.screen_events
+            ):
+                # device event log: every frame's transitions captured, one
+                # host roundtrip per event_chunk frames
+                if self._step_fn is None:
+                    self._build_step()
+                metrics = self._step_events_chunked(n)
+                if block:
+                    self.sync()
+                return metrics
             # per-frame stepping so no Enter/Stay/Exit transition is lost
             # (ADVICE r1: chunked stepping diffed only the final frame)
             for _ in range(n):
@@ -1066,11 +1225,7 @@ class Engine:
         """Pull the device-diffed event tables (ops/events.py) and fire the
         user hooks. Per-frame device traffic is three counts plus the actual
         event rows — not the full pair table."""
-        if not any(
-            getattr(reg.cls, h, None) is not None
-            for reg in self.classes.values()
-            for h in ("on_collision_enter", "on_collision_stay", "on_collision_exit")
-        ):
+        if not self._has_collision_hooks():
             return
         w = self.world
         n_e, n_s, n_x = (
@@ -1080,16 +1235,25 @@ class Engine:
         )
         if not (n_e or n_s or n_x):
             return
+        # pull the FULL fixed-shape tables and slice host-side: per-count
+        # device slices would compile a new program for every distinct count
         enters, stays, exits = (
             np.asarray(t) for t in jax.device_get(
-                (w.event_enter[:n_e], w.event_stay[:n_s], w.event_exit[:n_x])
+                (w.event_enter, w.event_stay, w.event_exit)
             )
         )
-        ctx = CollisionEventCtx(
-            self, np.concatenate([enters, stays, exits]) if (n_e or n_s or n_x)
-            else np.empty((0, 2), np.int64)
+        enters, stays, exits = enters[:n_e], stays[:n_s], exits[:n_x]
+        ctx = CollisionEventCtx(self, np.concatenate([enters, stays, exits]))
+        self._fire_collision_tables(ctx, enters, stays, exits)
+
+    def _has_collision_hooks(self) -> bool:
+        return any(
+            getattr(reg.cls, h, None) is not None
+            for reg in self.classes.values()
+            for h in ("on_collision_enter", "on_collision_stay", "on_collision_exit")
         )
 
+    def _fire_collision_tables(self, ctx, enters, stays, exits) -> None:
         def fire(pairs: np.ndarray, hook_name: str) -> None:
             for a, b in pairs:
                 for me, other in ((int(a), int(b)), (int(b), int(a))):
@@ -1122,6 +1286,7 @@ class Engine:
         self._step_fn = None
         self._step_n_fn = None
         self._emission_fn = None
+        self._event_chunk_fns = {}
         self._initialized = False
         self._pending_ops.clear()
         self._prev_onscreen = None

@@ -27,26 +27,30 @@ import jax
 import numpy as np
 
 
-def write_png(path: str, rgb: np.ndarray) -> None:
-    """Minimal PNG encoder (8-bit RGB)."""
-    h, w = rgb.shape[:2]
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder: 8-bit RGB ([H,W,3]) or RGBA ([H,W,4])."""
+    h, w = img.shape[:2]
+    color_type = 6 if img.shape[2] == 4 else 2
     raw = b"".join(
-        b"\x00" + rgb[row].astype(np.uint8).tobytes() for row in range(h)
+        b"\x00" + img[row].astype(np.uint8).tobytes() for row in range(h)
     )
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         out = _struct.pack(">I", len(data)) + tag + data
         return out + _struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
 
-    header = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (
+    header = _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", header)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(rgb))
 
 
 def _draw_line(img, x0, y0, x1, y1, color, alpha=1.0):
@@ -90,6 +94,51 @@ def _blend_disc(img, cx, cy, radius, color, alpha):
 
 def _tint_rgb(tint: int):
     return np.array([(tint >> 16) & 0xFF, (tint >> 8) & 0xFF, tint & 0xFF], np.float32)
+
+
+# 3×5 bitmap micro-font (rows of 3 bits, top→bottom) for the headless text
+# overlays (indices / fps / info panels — pixi_worker renders these with
+# PIXI.Text; a dependency-free rasterizer needs its own glyphs)
+_FONT = {
+    "0": "111101101101111", "1": "010110010010111", "2": "111001111100111",
+    "3": "111001111001111", "4": "101101111001001", "5": "111100111001111",
+    "6": "111100111101111", "7": "111001001010010", "8": "111101111101111",
+    "9": "111101111001111", ".": "000000000000010", ":": "000010000010000",
+    "/": "001001010100100", "-": "000000111000000", " ": "000000000000000",
+    "a": "010101111101101", "c": "011100100100011", "d": "110101101101110",
+    "e": "111100110100111", "f": "111100110100100", "g": "011100101101011",
+    "i": "111010010010111", "l": "100100100100111", "m": "101111111101101",
+    "n": "101111111111101", "o": "010101101101010", "p": "110101110100100",
+    "r": "110101110110101", "s": "011100010001110", "t": "111010010010010",
+    "x": "101101010101101",
+}
+
+
+def _draw_text(img, x, y, text, color=(255, 255, 0), scale=2):
+    """Rasterize text with the 3×5 micro-font (unknown chars skipped)."""
+    h, w = img.shape[:2]
+    cx = int(x)
+    col = np.asarray(color, np.float32)
+    for ch in str(text).lower():
+        bits = _FONT.get(ch)
+        if bits is None:
+            cx += 4 * scale
+            continue
+        for r in range(5):
+            for c in range(3):
+                if bits[r * 3 + c] == "1":
+                    y0, x0 = int(y) + r * scale, cx + c * scale
+                    y1, x1 = y0 + scale, x0 + scale
+                    if 0 <= y0 and y1 <= h and 0 <= x0 and x1 <= w:
+                        img[y0:y1, x0:x1] = col
+        cx += 4 * scale
+
+
+def _draw_rect_outline(img, x0, y0, x1, y1, color, alpha=1.0):
+    _draw_line(img, x0, y0, x1, y0, color, alpha)
+    _draw_line(img, x1, y0, x1, y1, color, alpha)
+    _draw_line(img, x1, y1, x0, y1, color, alpha)
+    _draw_line(img, x0, y1, x0, y0, color, alpha)
 
 
 def render_frame(
@@ -196,9 +245,27 @@ def render_frame(
     # DEBUG overlays (flag-gated Graphics pass, pixi_worker.js:337-646)
     flags = getattr(engine.debug, "flags", {})
     if any(flags.get(k) for k in ("colliders", "velocity", "acceleration",
-                                  "grid", "neighbors", "indices")):
+                                  "grid", "neighbors", "indices", "aabb",
+                                  "trail")):
         t, c, rb = w.transform, w.collider, w.rigid_body
         active_idx = np.nonzero(np.asarray(t.active))[0][:2000]
+        # trail history lives on the Debug object (the reference's renderer
+        # keeps per-entity trail Graphics; here a host-side ring buffer)
+        if flags.get("trail"):
+            trails = getattr(engine.debug, "_trails", None)
+            if trails is None:
+                trails = {}
+                engine.debug._trails = trails
+            for i in active_idx[:200]:
+                hist = trails.setdefault(int(i), [])
+                pt = (float(t.x[i]), float(t.y[i]))
+                if not hist or hist[-1] != pt:
+                    hist.append(pt)
+                    if len(hist) > 40:
+                        hist.pop(0)
+                pts = [to_screen(px, py) for px, py in hist]
+                for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+                    _draw_line(img, x0, y0, x1, y1, (255, 255, 255), 0.35)
         if flags.get("grid"):
             cell = cfg.spatial.cell_size
             gx0 = int((off_x / zoom) // cell) * cell
@@ -220,6 +287,12 @@ def render_frame(
             if flags.get("colliders") and c.active[i]:
                 col = (255, 255, 0) if not c.is_trigger[i] else (0, 255, 255)
                 _draw_circle_outline(img, sx, sy, float(c.radius[i]) * zoom, col, 0.8)
+            if flags.get("aabb") and c.active[i]:
+                r = max(float(c.radius[i]) * zoom, 2.0)
+                _draw_rect_outline(img, sx - r, sy - r, sx + r, sy + r,
+                                   (0, 200, 255), 0.7)
+            if flags.get("indices"):
+                _draw_text(img, sx + 4, sy - 10, str(int(i)), (255, 255, 0), 1)
             if flags.get("velocity") and rb.active[i]:
                 _draw_line(img, sx, sy, sx + float(rb.vx[i]) * 5 * zoom,
                            sy + float(rb.vy[i]) * 5 * zoom, (0, 255, 0), 0.9)
@@ -248,6 +321,21 @@ def render_frame(
                         continue
                     s1x, s1y = to_screen(float(xs_all[j]), float(ys_all[j]))
                     _draw_line(img, s0x, s0y, s1x, s1y, (255, 128, 0), 0.5)
+
+    # fps / info text panels (the DOM stats panel + Debug fps overlay,
+    # gameEngine.js:1326-1381, Debug.js fps/info flags)
+    if flags.get("fps") or flags.get("info"):
+        lines = []
+        if flags.get("fps"):
+            lines.append(f"{engine.timer.steps_per_sec:.1f} steps/s")
+        if flags.get("info"):
+            active = int(np.asarray(w.transform.active).sum())
+            lines.append(f"step: {int(w.step_count)}")
+            lines.append(f"entities: {active}")
+            if w.particles.x.shape[0]:
+                lines.append(f"particles: {int(np.asarray(w.particles.active).sum())}")
+        for k, line in enumerate(lines):
+            _draw_text(img, 8, 8 + k * 14, line, (160, 255, 160), 2)
 
     img = np.clip(img, 0, 255).astype(np.uint8)
     if path:

@@ -33,12 +33,23 @@ import numpy as np
 MAGIC = 0x57454544  # "WEED"
 
 
+#: per-entity lanes in the frame's entity section (little-endian f32);
+#: numeric ids ride as exact floats (< 2^24)
+ENT_LANES = 13  # x y rot sx sy alpha tint frame anchor_x anchor_y sheet anim index
+
+
 def encode_frame(engine, max_visible: int = 20000) -> bytes:
     """One binary frame: [magic, step, n_entities, n_particles, n_shadows,
-    n_lights] header + per-section typed arrays (little-endian)."""
+    n_lights, debug_mask, reserved] header + per-section typed arrays
+    (little-endian). When velocity/acceleration debug flags are on, a
+    [n_entities, 4] (vx, vy, ax, ay) section follows the radius section."""
     pkt = engine.render_packet(max_visible)
     w = engine.world
     count = int(pkt.count)
+    from ..debugging import FLAG_NAMES
+
+    flags = engine.debug.flags
+    debug_mask = sum(1 << k for k, n in enumerate(FLAG_NAMES) if flags.get(n))
 
     out = io.BytesIO()
     # entities
@@ -52,13 +63,28 @@ def encode_frame(engine, max_visible: int = 20000) -> bytes:
             np.asarray(pkt.alpha[:count], np.float32),
             np.asarray(pkt.tint[:count], np.uint32).astype(np.float32),
             np.asarray(pkt.animation_frame[:count], np.float32),
+            np.asarray(pkt.anchor_x[:count], np.float32),
+            np.asarray(pkt.anchor_y[:count], np.float32),
+            np.asarray(pkt.spritesheet_id[:count], np.float32),
+            np.asarray(pkt.animation_state[:count], np.float32),
+            np.asarray(pkt.index[:count], np.float32),
         ],
         axis=1,
-    ).astype("<f4") if count else np.zeros((0, 8), "<f4")
-    # radius for the debug-circle client
-    radius = np.asarray(jax.device_get(w.collider.radius))[
-        np.asarray(pkt.index[:count]).clip(min=0)
-    ].astype("<f4") if count else np.zeros((0,), "<f4")
+    ).astype("<f4") if count else np.zeros((0, ENT_LANES), "<f4")
+    idx = np.asarray(pkt.index[:count]).clip(min=0)
+    # radius for colliders/debug
+    radius = np.asarray(jax.device_get(w.collider.radius))[idx].astype(
+        "<f4"
+    ) if count else np.zeros((0,), "<f4")
+    # velocity/acceleration overlay data, only when a flag wants it
+    if count and (flags.get("velocity") or flags.get("acceleration")):
+        rb = jax.device_get(
+            (w.rigid_body.vx[idx], w.rigid_body.vy[idx],
+             w.rigid_body.ax[idx], w.rigid_body.ay[idx])
+        )
+        dbg = np.stack([np.asarray(v) for v in rb], axis=1).astype("<f4")
+    else:
+        dbg = np.zeros((0, 4), "<f4")
 
     p = jax.device_get(w.particles)
     alive = np.nonzero(np.asarray(p.active) & np.asarray(p.is_on_screen))[0][:20000]
@@ -101,25 +127,73 @@ def encode_frame(engine, max_visible: int = 20000) -> bytes:
 
     step = int(jax.device_get(w.step_count))
     out.write(struct.pack(
-        "<IIIIII", MAGIC, step, count, parts.shape[0], shadows.shape[0],
-        lights.shape[0],
+        "<IIIIIIII", MAGIC, step, count, parts.shape[0], shadows.shape[0],
+        lights.shape[0], debug_mask, dbg.shape[0],
     ))
     out.write(ent.tobytes())
     out.write(radius.tobytes())
+    out.write(dbg.tobytes())
     out.write(parts.tobytes())
     out.write(shadows.tobytes())
     out.write(lights.tobytes())
     return out.getvalue()
 
 
+def atlas_payload(engine, atlas) -> dict:
+    """Numeric-id frame map for the browser client: for every registered
+    sheet and animation (engine.sprites ids — the SAME ids the device stores
+    in spritesheet_id/animation_state), the ordered list of atlas rects; for
+    every static texture id, its rect. Mirrors the frame-texture tables the
+    reference renderer builds from the atlas json (pixi_worker.js:1683-1822).
+    Sheets may cover a subset of animations — renderers fall back for the
+    rest."""
+    frames = atlas.frames
+    sheets: dict = {}
+    reg = engine.sprites
+    for sid in range(1, reg._next_sheet_id):
+        meta = reg.sheet_by_id(sid)
+        anims: dict = {}
+        for a_idx, (anim, n) in enumerate(zip(meta.animations, meta.frame_counts)):
+            rects = []
+            for k in range(n):
+                fr = frames.get(f"{meta.name}/{anim}_{k}")
+                if fr is None:
+                    break
+                f = fr["frame"]
+                rects.append([f["x"], f["y"], f["w"], f["h"]])
+            if rects:
+                anims[a_idx] = rects
+        if anims:
+            sheets[sid] = anims
+    textures = {}
+    for name, tid in reg.textures.items():
+        fr = frames.get(name)
+        if fr is not None:
+            f = fr["frame"]
+            textures[tid] = [f["x"], f["y"], f["w"], f["h"]]
+    return {
+        "size": list(atlas.image.shape[:2][::-1]),
+        "sheets": sheets,
+        "textures": textures,
+    }
+
+
 class RenderServer:
     """Publish/serve split: the sim thread calls publish(); HTTP threads only
     read the latest published bytes."""
 
-    def __init__(self, engine, host: str = "0.0.0.0", port: int = 8000):
+    def __init__(self, engine, host: str = "0.0.0.0", port: int = 8000,
+                 atlas=None):
         self.engine = engine
         self._frame: bytes = b""
         self._decal_png: bytes = b""
+        self._atlas_png: bytes = b""
+        self._atlas_json: bytes = b"{}"
+        if atlas is not None:
+            from ..render.headless import encode_png
+
+            self._atlas_png = encode_png(atlas.image)
+            self._atlas_json = json.dumps(atlas_payload(engine, atlas)).encode()
         self._lock = threading.Lock()
         self._inputs: dict = {}
         handler = self._make_handler()
@@ -138,18 +212,10 @@ class RenderServer:
         frame = encode_frame(self.engine)
         png = b""
         if include_decals and self.engine.world.decal_canvas.shape[0] > 1:
-            from ..render.headless import write_png
+            from ..render.headless import encode_png
 
             canvas = np.asarray(jax.device_get(self.engine.world.decal_canvas))
-            import os
-            import tempfile
-
-            with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
-                tmp = f.name
-            write_png(tmp, canvas[..., :3])
-            with open(tmp, "rb") as f:
-                png = f.read()
-            os.unlink(tmp)
+            png = encode_png(canvas)  # RGBA: decals composite over the bg
         with self._lock:
             self._frame = frame
             if png:
@@ -218,6 +284,14 @@ class RenderServer:
                         body = server._decal_png
                     self._headers(200, "image/png", len(body))
                     self.wfile.write(body)
+                elif self.path.startswith("/atlas.json"):
+                    body = server._atlas_json
+                    self._headers(200, "application/json", len(body))
+                    self.wfile.write(body)
+                elif self.path.startswith("/atlas"):
+                    body = server._atlas_png
+                    self._headers(200, "image/png", len(body))
+                    self.wfile.write(body)
                 elif self.path.startswith("/config"):
                     cfg = server.engine.config
                     body = json.dumps({
@@ -227,6 +301,7 @@ class RenderServer:
                         "canvas_height": cfg.canvas_height,
                         "lighting": cfg.lighting.enabled,
                         "ambient": cfg.lighting.lighting_ambient,
+                        "cell_size": cfg.spatial.cell_size,
                     }).encode()
                     self._headers(200, "application/json", len(body))
                     self.wfile.write(body)
@@ -250,10 +325,32 @@ class RenderServer:
         return Handler
 
 
+def build_demo_atlas(engine):
+    """Pack procedurally generated character sheets + textures for every
+    sheet/texture the engine registered (render/procgen.py — same frame
+    layout and animation names as the reference's LPC art, no third-party
+    assets). The atlas frames key by the ENGINE registry's names, so
+    atlas_payload's numeric-id mapping lines up with device state."""
+    from ..render.atlas import create_big_atlas
+    from ..render.procgen import make_character_sheet, make_demo_textures
+
+    reg = engine.sprites
+    sheets = {}
+    for sid in range(1, reg._next_sheet_id):
+        meta = reg.sheet_by_id(sid)
+        sheets[meta.name] = make_character_sheet(seed=0xC1B1 + sid)
+    textures = {
+        name: img for name, img in make_demo_textures().items()
+        if name in reg.textures
+    }
+    return create_big_atlas(textures, sheets, size=2048)
+
+
 def run_scene(scene: str = "balls", n: int = 0, port: int = 8000,
               steps_per_publish: int = 2, max_steps: Optional[int] = None) -> None:
     """Demo driver: build a scene, start the server, free-run the sim loop
     (the main-thread rAF loop analog, gameEngine.js:1514-1573)."""
+    atlas = None
     if scene == "balls":
         from ..models.balls import make_balls_engine
 
@@ -262,10 +359,11 @@ def run_scene(scene: str = "balls", n: int = 0, port: int = 8000,
         from ..models.predators import make_predators_engine
 
         eng = make_predators_engine(n_prey=n or 15_000)
+        atlas = build_demo_atlas(eng)
     else:
         raise ValueError(f"unknown scene {scene!r}")
 
-    srv = RenderServer(eng, port=port).start()
+    srv = RenderServer(eng, port=port, atlas=atlas).start()
     print(f"render server on http://localhost:{srv.port}/ — Ctrl-C to stop")
     steps = 0
     try:

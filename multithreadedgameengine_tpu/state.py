@@ -209,10 +209,13 @@ class EntityPool:
 
 def scatter_fields(component, idx: jnp.ndarray, updates: Dict[str, jnp.ndarray]):
     """Masked scatter of per-field updates at entity indices ``idx`` into a
-    component dataclass. ``idx`` may contain -1 entries (dropped)."""
+    component dataclass. ``idx`` may contain -1 entries (dropped — remapped
+    to an out-of-bounds-HIGH sentinel first: with ``mode="drop"`` a raw -1
+    would wrap to the last element and clobber it)."""
     changed = {}
     for name, value in updates.items():
         arr = getattr(component, name)
+        safe_idx = jnp.where(idx < 0, arr.shape[0], idx)
         value = jnp.asarray(value, arr.dtype)
-        changed[name] = arr.at[idx].set(value, mode="drop")
+        changed[name] = arr.at[safe_idx].set(value, mode="drop")
     return component.replace(**changed)

@@ -80,3 +80,31 @@ class TestHeadless:
             assert f.read(8) == b"\x89PNG\r\n\x1a\n"
         # some balls are in view: non-background pixels exist
         assert (img.std(axis=2) > 5).sum() > 10
+
+
+class TestDebugOverlays:
+    def test_all_flags_render(self, scene, tmp_path):
+        """Every Debug flag produces a changed image (aabb/indices/trail/
+        fps/info overlay parity, Debug.js:254-267, pixi_worker.js:337-646)."""
+        from multithreadedgameengine_tpu.render.headless import render_frame
+
+        eng = scene
+        base = render_frame(eng, 320, 240)
+        for flag in ("colliders", "aabb", "indices", "trail", "fps", "info"):
+            eng.debug.disable_all()
+            eng.debug._set(flag, True)
+            if flag == "trail":
+                eng.debug._trails = {}
+                render_frame(eng, 320, 240)
+                eng.step(2)  # move so the trail has 2+ points
+            img = render_frame(eng, 320, 240)
+            assert img.shape == (240, 320, 3)
+            assert (img != base).any(), f"{flag} overlay drew nothing"
+        eng.debug.disable_all()
+
+    def test_micro_font_digits(self):
+        from multithreadedgameengine_tpu.render.headless import _draw_text
+
+        img = np.zeros((20, 80, 3), np.float32)
+        _draw_text(img, 1, 1, "0123456789.5", (255, 255, 255), 2)
+        assert (img > 0).any()

@@ -109,15 +109,13 @@ _Pair.on_collision_stay = staticmethod(_on_stay)
 
 
 class TestChunkedEventGranularity:
-    def test_step_n_dispatches_events_every_frame(self):
-        """ADVICE r1: with events on, step(n>1) must not collapse
-        Enter/Stay/Exit into one end-of-chunk diff."""
+    def _run(self, event_chunk):
         _Pair.enters = 0
         _Pair.stays = 0
         eng = Engine(make_config(
             world_width=500.0, world_height=500.0,
             spatial=dict(cell_size=50.0, max_neighbors=8),
-            logic=dict(collision_events=True),
+            logic=dict(collision_events=True, event_chunk=event_chunk),
         ))
         eng.register_entity_class(_Pair, 2)
         eng.init()
@@ -125,10 +123,23 @@ class TestChunkedEventGranularity:
         eng.spawn("_Pair", x=110.0, y=100.0)  # overlapping statics
         eng.step(4)
         assert int(jax.device_get(eng.world.step_count)) == 4
-        # both hooks fire per pair side (2 calls per event): enter on the
-        # first overlapping frame, stay on each subsequent frame
-        assert _Pair.enters == 2
-        assert _Pair.stays == 6
+        return _Pair.enters, _Pair.stays
+
+    def test_step_n_dispatches_events_every_frame(self):
+        """ADVICE r1: with events on, step(n>1) must not collapse
+        Enter/Stay/Exit into one end-of-chunk diff. Both hooks fire per pair
+        side (2 calls per event): enter on the first overlapping frame, stay
+        on each subsequent frame."""
+        assert self._run(event_chunk=1) == (2, 6)
+
+    def test_device_event_log_chunk_matches_per_frame(self):
+        """event_chunk>1: the device log must capture every intermediate
+        frame's transitions — same hook counts as per-frame stepping."""
+        assert self._run(event_chunk=3) == (2, 6)
+
+    def test_event_log_partial_chunks(self):
+        # chunk size larger than n, and n not a multiple of the chunk
+        assert self._run(event_chunk=16) == (2, 6)
 
 
 class _Sparkler(EntityClass):

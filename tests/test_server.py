@@ -33,14 +33,30 @@ class TestFrameProtocol:
     def test_encode_and_parse(self, served):
         eng, _ = served
         buf = encode_frame(eng)
-        magic, step, n_e, n_p, n_s, n_l = struct.unpack_from("<IIIIII", buf, 0)
+        from multithreadedgameengine_tpu.server.render_server import ENT_LANES
+
+        magic, step, n_e, n_p, n_s, n_l, dbg_mask, n_dbg = struct.unpack_from(
+            "<IIIIIIII", buf, 0
+        )
         assert magic == MAGIC
         assert n_e > 0
-        ent = np.frombuffer(buf, "<f4", n_e * 8, 24).reshape(n_e, 8)
+        assert dbg_mask == 0 and n_dbg == 0
+        ent = np.frombuffer(buf, "<f4", n_e * ENT_LANES, 32).reshape(n_e, ENT_LANES)
         assert np.isfinite(ent).all()
         assert (ent[:, 0] >= 0).all() and (ent[:, 0] <= 1000.0).all()
-        rad = np.frombuffer(buf, "<f4", n_e, 24 + n_e * 32)
+        # index lane holds real entity ids
+        assert (ent[:, 12] >= 0).all() and (ent[:, 12] < 51).all()
+        rad = np.frombuffer(buf, "<f4", n_e, 32 + n_e * ENT_LANES * 4)
         assert (rad >= 0).all() and (rad <= 30.0).all()
+
+    def test_debug_section_present_when_flagged(self, served):
+        eng, _ = served
+        eng.debug.show_velocity()
+        buf = encode_frame(eng)
+        _, _, n_e, _, _, _, dbg_mask, n_dbg = struct.unpack_from("<IIIIIIII", buf, 0)
+        assert dbg_mask & (1 << 1)  # velocity bit
+        assert n_dbg == n_e
+        eng.debug.disable_all()
 
     def test_http_endpoints(self, served):
         eng, srv = served
@@ -52,6 +68,45 @@ class TestFrameProtocol:
         assert struct.unpack_from("<I", frame, 0)[0] == MAGIC
         page = get(srv, "/").read()
         assert b"<canvas" in page
+
+    def test_atlas_endpoints(self):
+        """Predators-style engine + procedural atlas: /atlas serves a PNG,
+        /atlas.json maps the ENGINE's numeric ids to frame rects (the
+        client's drawImage sub-rect tables, pixi_worker.js:1683-1822)."""
+        from multithreadedgameengine_tpu.models.predators import (
+            make_predators_engine,
+        )
+        from multithreadedgameengine_tpu.render.atlas import decode_png
+        from multithreadedgameengine_tpu.server.render_server import (
+            build_demo_atlas,
+        )
+
+        eng = make_predators_engine(
+            n_prey=4, n_predators=1, n_lights=1,
+            particle=dict(max_particles=0), lighting=dict(enabled=False),
+        )
+        atlas = build_demo_atlas(eng)
+        srv = RenderServer(eng, port=0, atlas=atlas).start()
+        try:
+            png = get(srv, "/atlas").read()
+            img = decode_png(png)
+            assert img.shape[2] == 4 and img.shape[0] >= 1024
+            payload = json.loads(get(srv, "/atlas.json").read())
+            # every civil sheet id maps its walk_down animation (index from
+            # the engine registry) to 9 frame rects
+            sid = eng.sprites.sheet_id("civil1")
+            a_idx = eng.sprites.animation_index("civil1", "walk_down")
+            rects = payload["sheets"][str(sid)][str(a_idx)]
+            assert len(rects) == 9
+            x, y, w, h = rects[0]
+            assert w == 64 and h == 64
+            # frame pixels in the atlas are non-empty (a drawn character)
+            assert img[y:y+h, x:x+w, 3].sum() > 0
+            # static textures mapped by texture id
+            tid = eng.sprites.texture_id("bunny")
+            assert str(tid) in payload["textures"]
+        finally:
+            srv.stop()
 
     def test_input_roundtrip(self, served):
         eng, srv = served
