@@ -108,14 +108,30 @@ def balls_config(**overrides) -> EngineConfig:
 
 
 def make_balls_engine(
-    n_balls: int = 10_000, seed: int = 12345, spawn: bool = True, **overrides
+    n_balls: int = 10_000,
+    seed: int = 12345,
+    spawn: bool = True,
+    fast_spawn: bool | None = None,
+    **overrides,
 ) -> Engine:
     """Build + init the balls scene; spawns like index.html's spawnRandomBall
-    loop (x, y ~ rng() * world extent, vx = vy = 0)."""
+    loop (x, y ~ rng() * world extent, vx = vy = 0).
+
+    ``fast_spawn`` (default: auto at >= 50k balls) consumes the SAME seeded
+    RNG stream in the same per-ball order (x, y, radius, color — the call
+    site's draws then on_spawned's) but applies everything through ONE
+    spawn_batch scatter instead of n_balls spawn() calls: the resulting world
+    is identical, scene construction drops from ~70 s to ~3 s at 1M."""
+    import numpy as np
+
     eng = Engine(balls_config(seed=seed, **overrides))
     eng.register_entity_class(Ball, n_balls)
     eng.init()
-    if spawn:
+    if not spawn:
+        return eng
+    if fast_spawn is None:
+        fast_spawn = n_balls >= 50_000
+    if not fast_spawn:
         for _ in range(n_balls):
             eng.spawn(
                 "Ball",
@@ -124,4 +140,28 @@ def make_balls_engine(
                 vx=0.0,
                 vy=0.0,
             )
+        return eng
+    w, h = eng.config.world_width, eng.config.world_height
+    # one vectorized pull of the stream, same per-ball draw order as spawn():
+    # x, y (call site), then radius, color (on_spawned, ball.js:66, :87)
+    draws = eng.rng.draw(4 * n_balls).reshape(n_balls, 4)
+    xs = (draws[:, 0] * w).astype(np.float32)
+    ys = (draws[:, 1] * h).astype(np.float32)
+    radius64 = draws[:, 2] * 20.0 + 10.0  # f64 until scale derives (ULP parity)
+    tint = np.asarray(BALL_COLORS, np.uint32)[
+        (draws[:, 3] * len(BALL_COLORS)).astype(np.int64)
+    ]
+    radius = radius64.astype(np.float32)
+    scale = ((radius64 * 2.0) / BALL_PNG_SIZE).astype(np.float32)
+    eng.spawn_batch(
+        "Ball", n_balls, call_on_spawned=False,
+        x=xs, y=ys, vx=0.0, vy=0.0, rotation=0.0,
+        **{
+            "rigid_body.ax": 0.0, "rigid_body.ay": 0.0,
+            "collider.radius": radius,
+            "sprite.scale_x": scale, "sprite.scale_y": scale,
+            "sprite.alpha": 1.0, "sprite.tint": tint,
+            "sprite.base_tint": tint,
+        },
+    )
     return eng

@@ -51,6 +51,22 @@ class Mulberry32:
     def uniform(self, lo: float = 0.0, hi: float = 1.0) -> float:
         return lo + (hi - lo) * self()
 
+    def draw(self, n: int) -> np.ndarray:
+        """The next ``n`` draws as a float64 array, bit-exact to ``n`` calls.
+
+        mulberry32's state update is a pure counter (t += 0x6D2B79F5), so the
+        whole stream vectorizes: draw k = hash(t0 + k·GOLDEN mod 2^32). This
+        is what makes 1M-entity scene construction O(ms) of numpy instead of
+        minutes of per-call Python (used by the spawn_batch fast paths)."""
+        with np.errstate(over="ignore"):
+            ks = np.arange(1, n + 1, dtype=np.uint32)
+            t = self._t + ks * np.uint32(0x6D2B79F5)  # wrapping uint32
+            r = ((t ^ (t >> np.uint32(15))) * (np.uint32(1) | t)).astype(np.uint32)
+            r = (r + ((r ^ (r >> np.uint32(7))) * (np.uint32(61) | r)).astype(np.uint32)) ^ r
+            out = r ^ (r >> np.uint32(14))
+            self._t = t[-1] if n else self._t
+        return out.astype(np.float64) / 4294967296.0
+
     def random_range(self, value, default=0.0) -> float:
         """utils.js:49-56 ``randomRange``: number passes through; {min,max}
         dict draws uniformly. (The reference draws from Math.random() there;

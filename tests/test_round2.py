@@ -269,3 +269,28 @@ class TestDroppedPairMetric:
         # 28 true pairs, table caps at 4
         assert m["collision_pair_count"] == 4
         assert m["collision_pairs_dropped"] > 0
+
+
+class TestFastSpawn:
+    def test_fast_spawn_bit_identical(self):
+        """make_balls_engine(fast_spawn=True) consumes the same RNG stream in
+        the same order and lands the same world as n spawn() calls."""
+        import numpy as np
+
+        from multithreadedgameengine_tpu.models.balls import make_balls_engine
+
+        a = make_balls_engine(n_balls=300, seed=777, fast_spawn=False)
+        b = make_balls_engine(n_balls=300, seed=777, fast_spawn=True)
+        a._flush_pending()
+        b._flush_pending()
+        for x, y in zip(
+            jax.tree_util.tree_leaves(a.world), jax.tree_util.tree_leaves(b.world)
+        ):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+        a.step(3)
+        b.step(3)
+        assert np.array_equal(
+            np.asarray(a.world.transform.x), np.asarray(b.world.transform.x)
+        )
+        # host RNG cursors agree too: later spawns stay in lockstep
+        assert a.rng() == b.rng()
