@@ -45,12 +45,7 @@ def main() -> None:
         update_derived,
         verlet_move,
     )
-    from multithreadedgameengine_tpu.ops.physics_grid import (
-        grid_constraints,
-        pack_solver_rows,
-        run_solver_substeps,
-        scatter_solver_grid,
-    )
+    from multithreadedgameengine_tpu.ops.physics_grid import grid_constraints
     from multithreadedgameengine_tpu.ops.spatial import bin_entities
 
     scale = (n_balls / 10_000) ** 0.5
@@ -94,27 +89,60 @@ def main() -> None:
     best, bins = timed(bin_fn, t.x, t.y, valid)
     results["bin_entities"] = best
 
-    # phase: pack + scatter into grid layout
-    R, C, cap = geom.rows, geom.cols, geom.capacity
-    flat_cells = (R + 2) * (C + 2) * cap
-
-    def pack_scatter(w, b):
-        packed = pack_solver_rows(w)
-        flat_idx = ((b.row + 1) * (C + 2) + (b.col + 1)) * cap + b.rank
-        in_grid = valid & (b.rank < cap)
-        flat_idx = jnp.where(in_grid, flat_idx, flat_cells)
-        return scatter_solver_grid(packed, flat_idx, R, C, cap), flat_idx
-
-    ps = jax.jit(pack_scatter)
-    best, (grid, flat_idx) = timed(ps, world_m, bins)
-    results["pack_scatter"] = best
-
-    # phase: substep loop (2 substeps; pallas or xla per config)
-    sub = jax.jit(
-        lambda g, s: run_solver_substeps(g, geom, cfg, s)
+    # phase: per-field scatters into the resident slot-major layout
+    from multithreadedgameengine_tpu.ops.pallas_kernels import (
+        HALO,
+        pair_pass_resident,
     )
-    best, _ = timed(sub, grid, world_m.step_count.astype(jnp.uint32))
-    results[f"substeps_x{cfg.physics.sub_step_count}_{cfg.physics.solver}"] = best
+    from multithreadedgameengine_tpu.ops.physics_grid import (
+        RESIDENT_TILE_ROWS as tr,
+    )
+
+    R, C, cap = geom.rows, geom.cols, geom.capacity
+    n_tiles = -(-R // tr)
+    rows_buf = n_tiles * tr + 2 * HALO
+    cp = -(-(C + 2) // 128) * 128
+    total = cap * rows_buf * cp
+
+    def scatter_fields(w, b):
+        t, rb, c = w.transform, w.rigid_body, w.collider
+        in_grid = valid & (b.rank < cap)
+        rank_safe = jnp.where(in_grid, b.rank, 0)
+        flat = (rank_safe * rows_buf + (HALO + b.row)) * cp + (1 + b.col)
+        flat = jnp.where(in_grid, flat, total)
+
+        def scat(vals, dtype=jnp.float32):
+            return (
+                jnp.zeros((total,), dtype)
+                .at[flat]
+                .set(vals.astype(dtype), mode="drop", unique_indices=True)
+                .reshape(cap, rows_buf, cp)
+            )
+
+        nn = t.x.shape[0]
+        flags = (
+            c.active.astype(jnp.int32)
+            | (c.is_trigger.astype(jnp.int32) << 1)
+            | (rb.static.astype(jnp.int32) << 2)
+            | ((t.active & rb.active & ~rb.static).astype(jnp.int32) << 3)
+        )
+        meta = scat(jnp.arange(nn, dtype=jnp.int32) | (flags << 24), jnp.int32)
+        return (
+            scat(t.x), scat(t.y), scat(rb.px), scat(rb.py),
+            scat(c.radius), meta,
+        )
+
+    sf = jax.jit(scatter_fields)
+    best, (gx, gy, gpx, gpy, grad, meta) = timed(sf, world_m, bins)
+    results["scatter_6fields"] = best
+
+    # phase: ONE resident pair pass (kernel only, no layout shuffles)
+    pp = jax.jit(lambda x, y, r, m, s: pair_pass_resident(
+        x, y, r, m, s, float(cfg.physics.collision_response_strength),
+        tile_rows=tr,
+    ))
+    best, _ = timed(pp, gx, gy, grad, meta, world_m.step_count.astype(jnp.uint32))
+    results["pair_pass_resident_x1"] = best
 
     # phase: whole grid_constraints (scatter + substeps + gather-back)
     gc = jax.jit(lambda w: grid_constraints(w, cfg, geom)[0])
@@ -126,10 +154,10 @@ def main() -> None:
     best, _ = timed(ud, world_m)
     results["update_derived"] = best
 
-    occ = jax.device_get(jnp.sum(grid[..., 6] >= 0))
+    occ = jax.device_get(jnp.sum(meta != 0))
     print(json.dumps({
         "n": n_balls,
-        "grid_slots": int((R + 2) * (C + 2) * cap),
+        "grid_slots": int(total),
         "occupied": int(occ),
         **{k: round(v * 1000, 2) for k, v in results.items()},
     }), flush=True)

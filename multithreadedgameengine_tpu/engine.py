@@ -746,11 +746,15 @@ class Engine:
         if solver_geom is None:
             return cfg, None, True  # no radii known: neighbor solver
         if cfg.physics.solver == "auto" and jax.default_backend() == "tpu":
-            # the Pallas pair kernel outruns the XLA formulation whenever
-            # its halo-tile scratch fits the VMEM budget (10 buffers of
-            # [cap, tile+16, 128-padded cols] f32)
+            # the resident Pallas pair kernel outruns the XLA formulation
+            # whenever its scratch fits the VMEM budget: 8 halo tiles of
+            # [cap, tr+16, 128-padded cols] + 3 accumulators [cap, tr, cols]
+            # + double-buffered outputs (ops/pallas_kernels.py)
+            from .ops.physics_grid import RESIDENT_TILE_ROWS as _tr
+
             cp_pad = math.ceil((solver_geom.cols + 2) / 128) * 128
-            vmem = 10 * solver_geom.capacity * 24 * cp_pad * 4
+            cap_ = solver_geom.capacity
+            vmem = (8 * (_tr + 16) + 3 * _tr + 6 * _tr) * cap_ * cp_pad * 4
             if vmem < 90 * 1024 * 1024:
                 cfg = dataclasses.replace(
                     cfg,

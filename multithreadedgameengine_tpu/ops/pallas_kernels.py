@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .physics import _pair_hash_angle
+from .physics import _pair_hash_dir
 from .spatial import GridGeom
 
 HALO = 8  # row halo per side; sublane tiling demands 8-aligned DMA slices
@@ -115,18 +115,18 @@ def _pair_kernel(
                 trig = trig_i | ((pkb & 2) != 0)
                 st_j = (pkb & 4) != 0
                 share = jnp.where(trig | st_i, 0.0, jnp.where(st_j, 1.0, 0.5))
-                dist = jnp.sqrt(d2)
-                inv_dist = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, 1e-30), 0.0)
+                inv_dist = jnp.where(d2 > 0, jax.lax.rsqrt(d2), 0.0)
+                dist = d2 * inv_dist
                 corr = (min_d - dist) * strength * share
 
                 zero = d2 == 0
-                ang = _pair_hash_angle(id_i, idb, salt)
+                ux, uy = _pair_hash_dir(id_i, idb, salt)
                 sign = jnp.where(id_i < idb, 1.0, -1.0)
                 zshare = jnp.where(
                     trig | st_i, 0.0, jnp.where(st_j, 2.0, 1.0)
                 ) * sign * jnp.float32(0.001)
-                push_x = jnp.where(zero, jnp.cos(ang) * zshare, dx * inv_dist * corr)
-                push_y = jnp.where(zero, jnp.sin(ang) * zshare, dy * inv_dist * corr)
+                push_x = jnp.where(zero, ux * zshare, dx * inv_dist * corr)
+                push_y = jnp.where(zero, uy * zshare, dy * inv_dist * corr)
                 ov = overlap.astype(jnp.float32)
                 return (
                     acc_x + push_x * ov,
@@ -137,6 +137,194 @@ def _pair_kernel(
             acc = jax.lax.fori_loop(0, cap, j_body, acc)
 
     dx_out[0], dy_out[0], cnt_out[0] = acc
+
+
+def _resident_kernel(
+    salt_ref,  # SMEM (1,) uint32
+    x_ref, y_ref, r_ref, m_ref,  # ANY (HBM), slot-major [cap, rows_buf, Cp]
+    newx_out, newy_out, cnt_out,  # VMEM blocks [cap, TR, Cp]
+    xt_ref, yt_ref, rt_ref, mt_ref,  # scratch [cap, TR+2H, Cp] (DMA dst)
+    xr_ref, yr_ref, rr_ref, mr_ref,  # scratch: rolled per offset
+    ax_ref, ay_ref, ac_ref,  # scratch accumulators [cap, TR, Cp]
+    sems,
+    *, tr: int, cap: int, strength: float,
+):
+    """One Jacobi pair pass over resident slot-major fields.
+
+    Differences vs the legacy `_pair_kernel` (kept for the halo path):
+     - inputs stay in the slot-major layout the frame's binning scatters
+       directly into — no grid↔slot-major transposes anywhere;
+     - attributes ride ONE packed int32 (gid | flags<<24; empty slot = 0) —
+       4 DMA'd fields instead of 5;
+     - occupancy-aware: a tile with no colliders writes passthrough outputs
+       and skips all pair work; within an active tile, each (offset, j) slot
+       column is skipped unless some candidate occupies it (cells fill slots
+       rank-ascending, so sparse regions only pay for their occupied ranks);
+     - outputs are the UPDATED center positions (xs + Jacobi displacement),
+       written straight into the resident row range.
+    """
+    i = pl.program_id(0)
+    row0 = i * tr  # aligned: tr % 8 == 0
+
+    copies = [
+        pltpu.make_async_copy(src.at[:, pl.ds(row0, tr + 2 * HALO)], dst, sems.at[k])
+        for k, (src, dst) in enumerate([
+            (x_ref, xt_ref), (y_ref, yt_ref), (r_ref, rt_ref), (m_ref, mt_ref),
+        ])
+    ]
+    for cp_ in copies:
+        cp_.start()
+    for cp_ in copies:
+        cp_.wait()
+
+    ctr = slice(HALO, HALO + tr)
+    m_ctr = mt_ref[:, ctr, :]
+    xs = xt_ref[:, ctr, :]
+    ys = yt_ref[:, ctr, :]
+    any_self = jnp.any(((m_ctr >> 24) & 1) == 1)
+
+    @pl.when(jnp.logical_not(any_self))
+    def _():
+        newx_out[...] = xs
+        newy_out[...] = ys
+        cnt_out[...] = jnp.zeros(xs.shape, jnp.int32)
+
+    @pl.when(any_self)
+    def _():
+        rs = rt_ref[:, ctr, :]
+        pk_i = m_ctr >> 24
+        id_i = m_ctr & jnp.int32(0xFFFFFF)
+        ok_i = (pk_i & 1) == 1
+        trig_i = (pk_i & 2) != 0
+        st_i = (pk_i & 4) != 0
+        salt = salt_ref[0]
+
+        ax_ref[...] = jnp.zeros(xs.shape, jnp.float32)
+        ay_ref[...] = jnp.zeros(xs.shape, jnp.float32)
+        ac_ref[...] = jnp.zeros(xs.shape, jnp.int32)
+
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                xr_ref[...] = _roll2(xt_ref[...], dr, dc)
+                yr_ref[...] = _roll2(yt_ref[...], dr, dc)
+                rr_ref[...] = _roll2(rt_ref[...], dr, dc)
+                mr_ref[...] = _roll2(mt_ref[...], dr, dc)
+
+                def j_body(j, _):
+                    sl = (pl.ds(j, 1), ctr, slice(None))
+                    mjs = mr_ref[sl]
+                    use = jnp.any(((mjs >> 24) & 1) == 1)
+
+                    @pl.when(use)
+                    def _():
+                        xb = xr_ref[sl]
+                        yb = yr_ref[sl]
+                        rb_ = rr_ref[sl]
+                        pkb = mjs >> 24
+                        idb = mjs & jnp.int32(0xFFFFFF)
+
+                        ok = ok_i & ((pkb & 1) == 1) & (id_i != idb)
+                        dx = xs - xb
+                        dy = ys - yb
+                        d2 = dx * dx + dy * dy
+                        min_d = rs + rb_
+                        overlap = ok & (d2 < min_d * min_d)
+
+                        trig = trig_i | ((pkb & 2) != 0)
+                        st_j = (pkb & 4) != 0
+                        share = jnp.where(
+                            trig | st_i, 0.0, jnp.where(st_j, 1.0, 0.5)
+                        )
+                        inv_dist = jnp.where(d2 > 0, jax.lax.rsqrt(d2), 0.0)
+                        dist = d2 * inv_dist
+                        corr = (min_d - dist) * strength * share
+
+                        zero = d2 == 0
+                        ux, uy = _pair_hash_dir(id_i, idb, salt)
+                        sign = jnp.where(id_i < idb, 1.0, -1.0)
+                        zshare = jnp.where(
+                            trig | st_i, 0.0, jnp.where(st_j, 2.0, 1.0)
+                        ) * sign * jnp.float32(0.001)
+                        push_x = jnp.where(zero, ux * zshare, dx * inv_dist * corr)
+                        push_y = jnp.where(zero, uy * zshare, dy * inv_dist * corr)
+                        ov = overlap.astype(jnp.float32)
+                        ax_ref[...] += push_x * ov
+                        ay_ref[...] += push_y * ov
+                        ac_ref[...] += overlap.astype(jnp.int32)
+
+                    return 0
+
+                jax.lax.fori_loop(0, cap, j_body, 0)
+
+        newx_out[...] = xs + ax_ref[...]
+        newy_out[...] = ys + ay_ref[...]
+        cnt_out[...] = ac_ref[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("strength", "tile_rows", "interpret"),
+)
+def pair_pass_resident(
+    x: jnp.ndarray,  # f32[cap, rows_buf, Cp] slot-major (HALO row pad, col pad)
+    y: jnp.ndarray,
+    radius: jnp.ndarray,
+    meta: jnp.ndarray,  # int32[cap, rows_buf, Cp]: gid | flags<<24, empty = 0
+    salt: jnp.ndarray,  # uint32 scalar
+    strength: float,
+    tile_rows: int = 16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One resident pair pass. Returns (new_x, new_y, count) for the center
+    rows [HALO, rows_buf - HALO) — each [cap, rows_buf - 2*HALO, Cp]."""
+    cap, rows_buf, cp = x.shape
+    tr = tile_rows
+    center_rows = rows_buf - 2 * HALO
+    assert center_rows % tr == 0 and tr % 8 == 0
+    n_tiles = center_rows // tr
+
+    out_shape = [
+        jax.ShapeDtypeStruct((cap, center_rows, cp), jnp.float32),
+        jax.ShapeDtypeStruct((cap, center_rows, cp), jnp.float32),
+        jax.ShapeDtypeStruct((cap, center_rows, cp), jnp.int32),
+    ]
+    kernel = functools.partial(
+        _resident_kernel, tr=tr, cap=cap, strength=strength,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[
+            pl.BlockSpec((cap, tr, cp), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((cap, tr, cp), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((cap, tr, cp), lambda i, *_: (0, i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # DMA x
+            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # y
+            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # radius
+            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.int32),  # meta
+            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # rolled x
+            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # rolled y
+            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # rolled radius
+            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.int32),  # rolled meta
+            pltpu.VMEM((cap, tr, cp), jnp.float32),  # acc dx
+            pltpu.VMEM((cap, tr, cp), jnp.float32),  # acc dy
+            pltpu.VMEM((cap, tr, cp), jnp.int32),  # acc count
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    salt_arr = jnp.asarray(salt, jnp.uint32).reshape(1)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(salt_arr, x, y, radius, meta)
 
 
 @functools.partial(
@@ -188,7 +376,7 @@ def pair_pass_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=[
             pl.BlockSpec((1, cap, tr, cp), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((1, cap, tr, cp), lambda i, *_: (i, 0, 0, 0)),

@@ -41,13 +41,22 @@ from ..state import World
 from .spatial import NeighborLists
 
 
-def _pair_hash_angle(i: jnp.ndarray, j: jnp.ndarray, salt: jnp.ndarray) -> jnp.ndarray:
-    """Deterministic pseudo-random angle for exact-overlap separation.
+def _pair_hash_dir(
+    i: jnp.ndarray, j: jnp.ndarray, salt: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Deterministic pseudo-random unit direction for exact-overlap separation.
 
-    The reference draws ``rng() * 2π`` (physics_worker.js:472) — a shared
-    scalar stream is unavailable to a data-parallel kernel, so the angle is a
-    pair-consistent integer hash instead: both members of a coincident pair
-    derive the SAME angle and push in opposite directions.
+    The reference draws an angle ``rng() * 2π`` (physics_worker.js:472) — a
+    shared scalar stream is unavailable to a data-parallel kernel, so the
+    direction is a pair-consistent integer hash instead: both members of a
+    coincident pair derive the SAME direction and push opposite ways.
+
+    Implementation note: the direction comes from normalizing a hash point in
+    a square (one rsqrt) rather than cos/sin of a hash angle — at 1M entities
+    the grid solvers evaluate this for every candidate pair slot, and the two
+    transcendentals per pair dominated the Pallas pair kernel. The angle
+    distribution is square-ish rather than uniform; the jitter only needs
+    pair-consistency and symmetry (documented deviation either way).
     """
     a = jnp.minimum(i, j).astype(jnp.uint32)
     b = jnp.maximum(i, j).astype(jnp.uint32)
@@ -55,9 +64,13 @@ def _pair_hash_angle(i: jnp.ndarray, j: jnp.ndarray, salt: jnp.ndarray) -> jnp.n
     h = h ^ (h >> 15)
     h = h * jnp.uint32(0x2C1B3C6D)
     h = h ^ (h >> 12)
-    # top 24 bits -> [0, 1): int32-representable (Mosaic has no uint32->f32 cast)
-    frac = (h >> 8).astype(jnp.int32).astype(jnp.float32) / jnp.float32(1 << 24)
-    return frac * (2.0 * jnp.pi)
+    # low/high 16 bits -> int32-representable (Mosaic has no uint32->f32 cast)
+    hx = (h & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32) - 32767.5
+    hy = ((h >> 16) & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(
+        jnp.float32
+    ) - 32767.5
+    inv = jax.lax.rsqrt(hx * hx + hy * hy)  # never 0: the ±0.5 offset
+    return hx * inv, hy * inv
 
 
 def verlet_move(world: World, cfg: EngineConfig, dt_ratio: float) -> World:
@@ -128,7 +141,8 @@ class PairInvariants:
     min_dist: jnp.ndarray  # f32[N, M] r_i + r_j
     respond_scale: jnp.ndarray  # f32[N, M] 0 / 0.5 / 1.0 response share for i
     zero_scale: jnp.ndarray  # f32[N, M] exact-overlap share (0 / 1 / 2) * sign
-    zero_angle: jnp.ndarray  # f32[N, M] pair-hash jitter angle
+    zero_ux: jnp.ndarray  # f32[N, M] pair-hash jitter unit direction x
+    zero_uy: jnp.ndarray  # f32[N, M] pair-hash jitter unit direction y
 
 
 def build_pair_invariants(
@@ -175,11 +189,11 @@ def build_pair_invariants(
     zero_scale = jnp.where(
         trigger_either | static_i, 0.0, jnp.where(static_j, 2.0, 1.0)
     ) * sign
-    zero_angle = _pair_hash_angle(i_idx, j, salt)
+    zero_ux, zero_uy = _pair_hash_dir(i_idx, j, salt)
     return PairInvariants(
         j=j, j_safe=j_safe, pair_ok=pair_ok, min_dist=min_dist,
         respond_scale=respond_scale, zero_scale=zero_scale,
-        zero_angle=zero_angle,
+        zero_ux=zero_ux, zero_uy=zero_uy,
     )
 
 
@@ -197,9 +211,10 @@ def resolve_collisions_pass(
     d2 = dx * dx + dy * dy
     overlap = inv.pair_ok & (d2 < inv.min_dist * inv.min_dist)
 
-    # normal case: push along the separation normal
-    dist = jnp.sqrt(d2)
-    inv_dist = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, 1e-30), 0.0)
+    # normal case: push along the separation normal (rsqrt: one reciprocal
+    # square root instead of sqrt + divide — the pair passes are VPU-bound)
+    inv_dist = jnp.where(d2 > 0, jax.lax.rsqrt(d2), 0.0)
+    dist = d2 * inv_dist
     depth = inv.min_dist - dist
     corr = depth * response_strength * inv.respond_scale
     push_x = dx * inv_dist * corr
@@ -209,8 +224,8 @@ def resolve_collisions_pass(
     # in for the reference's rng() angle (physics_worker.js:459-506)
     zero = d2 == 0
     sep = jnp.float32(0.001)
-    zpush_x = jnp.cos(inv.zero_angle) * sep * inv.zero_scale
-    zpush_y = jnp.sin(inv.zero_angle) * sep * inv.zero_scale
+    zpush_x = inv.zero_ux * sep * inv.zero_scale
+    zpush_y = inv.zero_uy * sep * inv.zero_scale
 
     contrib_x = jnp.where(overlap, jnp.where(zero, zpush_x, push_x), 0.0)
     contrib_y = jnp.where(overlap, jnp.where(zero, zpush_y, push_y), 0.0)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..config import EngineConfig
 from ..state import World
-from .physics import _boundary, _pair_hash_angle
+from .physics import _boundary, _pair_hash_dir
 from .spatial import GridGeom, bin_entities
 
 
@@ -257,19 +257,19 @@ def run_solver_substeps(
                 share = jnp.where(
                     trig | st_i, 0.0, jnp.where(st_j, 1.0, 0.5)
                 )
-                dist = jnp.sqrt(d2)
-                inv_dist = jnp.where(dist > 0, 1.0 / jnp.maximum(dist, 1e-30), 0.0)
+                inv_dist = jnp.where(d2 > 0, jax.lax.rsqrt(d2), 0.0)
+                dist = d2 * inv_dist
                 corr = (min_d - dist) * strength * share
                 # exact-overlap jitter (physics_worker.js:459-506)
                 zero = d2 == 0
                 id_j = idn_full[..., None, sl]
-                ang = _pair_hash_angle(id_i, id_j, salt)
+                ux, uy = _pair_hash_dir(id_i, id_j, salt)
                 sign = jnp.where(id_i < id_j, 1.0, -1.0)
                 zshare = jnp.where(
                     trig | st_i, 0.0, jnp.where(st_j, 2.0, 1.0)
                 ) * sign * jnp.float32(0.001)
-                push_x = jnp.where(zero, jnp.cos(ang) * zshare, dx * inv_dist * corr)
-                push_y = jnp.where(zero, jnp.sin(ang) * zshare, dy * inv_dist * corr)
+                push_x = jnp.where(zero, ux * zshare, dx * inv_dist * corr)
+                push_y = jnp.where(zero, uy * zshare, dy * inv_dist * corr)
                 ov = overlap.astype(jnp.float32)
                 disp_x = disp_x + jnp.sum(push_x * ov, axis=-1)
                 disp_y = disp_y + jnp.sum(push_y * ov, axis=-1)
@@ -292,6 +292,132 @@ def run_solver_substeps(
     )
 
 
+RESIDENT_TILE_ROWS = 16  # pair-kernel row tile; must stay a multiple of 8
+
+
+def grid_constraints_resident(
+    world: World,
+    cfg: EngineConfig,
+    geom: GridGeom,
+) -> Tuple[World, jnp.ndarray, jnp.ndarray]:
+    """The single-chip Pallas fast path: the whole constraint phase stays in
+    the pair kernel's slot-major layout ``[cap, rows_buf, cols_pad]``.
+
+    Motivated by measured 1M-entity costs on v5e (benchmarks/bench_kernels.py):
+    an [N, 8] row-scatter costs ~104 ms where 6 per-FIELD scatters cost ~40 ms,
+    and each grid↔slot-major transpose costs ~3.4 ms/field — the legacy path
+    paid the transposes inside every substep's kernel wrapper. Here binning
+    scatters straight into the kernel's resident layout (per-field, computed
+    flat indices), the substep loop (boundary + pair pass) runs in that layout
+    with no reshuffling, and the read-back is one channel-stacked row gather.
+
+    Bit-exact with the XLA grid solver (grid_constraints): same binning, same
+    per-slot elementwise formulas, same offset/slot accumulation order —
+    tests/test_pallas.py asserts array equality.
+    """
+    from .pallas_kernels import HALO, pair_pass_resident
+
+    ph = cfg.physics
+    t, rb, c = world.transform, world.rigid_body, world.collider
+    R, C, cap = geom.rows, geom.cols, geom.capacity
+    tr = RESIDENT_TILE_ROWS
+    n_tiles = -(-R // tr)
+    rows_buf = n_tiles * tr + 2 * HALO
+    cp = -(-(C + 2) // 128) * 128
+    total = cap * rows_buf * cp
+    n = t.x.shape[0]
+    if n >= (1 << 24):
+        raise ValueError("resident solver packs entity ids into meta: N < 2^24")
+
+    finite = jnp.isfinite(t.x) & jnp.isfinite(t.y)
+    valid = t.active & finite
+    bins = bin_entities(t.x, t.y, valid, geom, build_table=False)
+
+    in_grid = valid & (bins.rank < cap)
+    # clamp rank BEFORE the slot product: overflow ranks can reach N and the
+    # (rank * rows_buf * cp) product would wrap int32; masked to `total` after
+    rank_safe = jnp.where(in_grid, bins.rank, 0)
+    flat = (rank_safe * rows_buf + (HALO + bins.row)) * cp + (1 + bins.col)
+    flat = jnp.where(in_grid, flat, total)  # OOB -> dropped
+
+    def scat(vals, dtype=jnp.float32):
+        return (
+            jnp.zeros((total,), dtype)
+            .at[flat]
+            .set(vals.astype(dtype), mode="drop", unique_indices=True)
+            .reshape(cap, rows_buf, cp)
+        )
+
+    gx = scat(t.x)
+    gy = scat(t.y)
+    gpx = scat(rb.px)
+    gpy = scat(rb.py)
+    grad = scat(c.radius)
+    flags = (
+        c.active.astype(jnp.int32)
+        | (c.is_trigger.astype(jnp.int32) << 1)
+        | (rb.static.astype(jnp.int32) << 2)
+        | ((t.active & rb.active & ~rb.static).astype(jnp.int32) << 3)
+    )
+    gid = jnp.arange(n, dtype=jnp.int32)
+    meta = scat(gid | (flags << 24), jnp.int32)  # empty slot = 0 (no flags)
+    g_moving = ((meta >> 24) & 8) != 0
+
+    strength = float(ph.collision_response_strength)
+    elasticity = ph.boundary_elasticity
+    salt = world.step_count.astype(jnp.uint32)
+    interp = jax.default_backend() != "tpu"
+
+    def substep(_k, carry):
+        gx, gy, gpx, gpy, cnt = carry
+        gx, gpx = _boundary(gx, gpx, grad, cfg.world_width, g_moving, elasticity)
+        gy, gpy = _boundary(gy, gpy, grad, cfg.world_height, g_moving, elasticity)
+        nx, ny, c_ = pair_pass_resident(
+            gx, gy, grad, meta, salt, strength,
+            tile_rows=tr, interpret=interp,
+        )
+        pad = ((0, 0), (HALO, HALO), (0, 0))
+        return (
+            jnp.concatenate([gx[:, :HALO], nx, gx[:, HALO + n_tiles * tr:]], axis=1),
+            jnp.concatenate([gy[:, :HALO], ny, gy[:, HALO + n_tiles * tr:]], axis=1),
+            gpx, gpy,
+            cnt + jnp.pad(c_, pad),
+        )
+
+    gx, gy, gpx, gpy, g_count = jax.lax.fori_loop(
+        0, ph.sub_step_count, substep, (gx, gy, gpx, gpy, meta * 0)
+    )
+
+    # read back: one channel-stacked row gather (rows are fast; it is the
+    # row-SCATTER that is slow on TPU — bench_kernels.py)
+    out_flat = jnp.stack(
+        [gx, gy, gpx, gpy, g_count.astype(jnp.float32)], axis=-1
+    ).reshape(total, 5)
+    rows = out_flat[jnp.where(in_grid, flat, 0)]
+    moving = t.active & rb.active & ~rb.static
+    new_x = jnp.where(in_grid, rows[:, 0], t.x)
+    new_y = jnp.where(in_grid, rows[:, 1], t.y)
+    new_px = jnp.where(in_grid, rows[:, 2], rb.px)
+    new_py = jnp.where(in_grid, rows[:, 3], rb.py)
+    new_count = jnp.where(in_grid, rows[:, 4].astype(jnp.int32), 0)
+
+    # overflow entities: boundary-only fallback (idempotent clamp once)
+    over = valid & ~in_grid
+    fx, fpx = _boundary(t.x, rb.px, c.radius, cfg.world_width, moving & over, ph.boundary_elasticity)
+    fy, fpy = _boundary(t.y, rb.py, c.radius, cfg.world_height, moving & over, ph.boundary_elasticity)
+    new_x = jnp.where(over, fx, new_x)
+    new_y = jnp.where(over, fy, new_y)
+    new_px = jnp.where(over, fpx, new_px)
+    new_py = jnp.where(over, fpy, new_py)
+
+    world = world.replace(
+        transform=t.replace(x=new_x, y=new_y),
+        rigid_body=rb.replace(px=new_px, py=new_py, collision_count=new_count),
+    )
+    overflow = jnp.sum(over, dtype=jnp.int32)
+    return world, jnp.sum(in_grid, dtype=jnp.int32), overflow
+
+
 def grid_constraints(
     world: World,
     cfg: EngineConfig,
@@ -301,6 +427,8 @@ def grid_constraints(
     (applyConstraintsVerlet, physics_worker.js:203-217, :323-395).
 
     Returns (world, n_binned, overflow_count)."""
+    if cfg.physics.solver == "pallas":
+        return grid_constraints_resident(world, cfg, geom)
     ph = cfg.physics
     t, rb, c = world.transform, world.rigid_body, world.collider
     R, C = geom.rows, geom.cols
