@@ -95,13 +95,14 @@ def main() -> None:
         pair_pass_resident,
     )
     from multithreadedgameengine_tpu.ops.physics_grid import (
-        RESIDENT_TILE_ROWS as tr,
+        resident_tile_rows,
     )
 
     R, C, cap = geom.rows, geom.cols, geom.capacity
+    cp = -(-(C + 2) // 128) * 128
+    tr = resident_tile_rows(cap, cp)
     n_tiles = -(-R // tr)
     rows_buf = n_tiles * tr + 2 * HALO
-    cp = -(-(C + 2) // 128) * 128
     total = cap * rows_buf * cp
 
     def scatter_fields(w, b):

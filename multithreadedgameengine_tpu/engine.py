@@ -750,10 +750,11 @@ class Engine:
             # whenever its scratch fits the VMEM budget: 8 halo tiles of
             # [cap, tr+16, 128-padded cols] + 3 accumulators [cap, tr, cols]
             # + double-buffered outputs (ops/pallas_kernels.py)
-            from .ops.physics_grid import RESIDENT_TILE_ROWS as _tr
+            from .ops.physics_grid import resident_tile_rows
 
             cp_pad = math.ceil((solver_geom.cols + 2) / 128) * 128
             cap_ = solver_geom.capacity
+            _tr = resident_tile_rows(cap_, cp_pad)
             vmem = (8 * (_tr + 16) + 3 * _tr + 6 * _tr) * cap_ * cp_pad * 4
             if vmem < 90 * 1024 * 1024:
                 cfg = dataclasses.replace(

@@ -238,18 +238,30 @@ def _resident_kernel(
                         inv_dist = jnp.where(d2 > 0, jax.lax.rsqrt(d2), 0.0)
                         dist = d2 * inv_dist
                         corr = (min_d - dist) * strength * share
-
-                        zero = d2 == 0
-                        ux, uy = _pair_hash_dir(id_i, idb, salt)
-                        sign = jnp.where(id_i < idb, 1.0, -1.0)
-                        zshare = jnp.where(
-                            trig | st_i, 0.0, jnp.where(st_j, 2.0, 1.0)
-                        ) * sign * jnp.float32(0.001)
-                        push_x = jnp.where(zero, ux * zshare, dx * inv_dist * corr)
-                        push_y = jnp.where(zero, uy * zshare, dy * inv_dist * corr)
                         ov = overlap.astype(jnp.float32)
-                        ax_ref[...] += push_x * ov
-                        ay_ref[...] += push_y * ov
+                        zero = d2 == 0
+                        any_zero = jnp.any(zero & ok)
+
+                        # common case: no exactly-coincident pair in the block
+                        # — the jitter hash (+rsqrt) never evaluates; at d2==0
+                        # inv_dist is exact 0 so the normal push is exact 0
+                        @pl.when(jnp.logical_not(any_zero))
+                        def _():
+                            ax_ref[...] += dx * inv_dist * corr * ov
+                            ay_ref[...] += dy * inv_dist * corr * ov
+
+                        @pl.when(any_zero)
+                        def _():
+                            ux, uy = _pair_hash_dir(id_i, idb, salt)
+                            sign = jnp.where(id_i < idb, 1.0, -1.0)
+                            zshare = jnp.where(
+                                trig | st_i, 0.0, jnp.where(st_j, 2.0, 1.0)
+                            ) * sign * jnp.float32(0.001)
+                            push_x = jnp.where(zero, ux * zshare, dx * inv_dist * corr)
+                            push_y = jnp.where(zero, uy * zshare, dy * inv_dist * corr)
+                            ax_ref[...] += push_x * ov
+                            ay_ref[...] += push_y * ov
+
                         ac_ref[...] += overlap.astype(jnp.int32)
 
                     return 0

@@ -292,7 +292,22 @@ def run_solver_substeps(
     )
 
 
-RESIDENT_TILE_ROWS = 16  # pair-kernel row tile; must stay a multiple of 8
+def resident_tile_rows(cap: int, cols_pad: int) -> int:
+    """Pick the pair-kernel row tile (multiple of 8). Wider tiles amortize
+    the halo DMA/roll overhead ((tr+2H)/tr: 1.5x at 32 vs 2.0x at 16), but
+    the kernel's scoped-VMEM stack grows with the tile: measured on v5e at
+    the 1M-balls geometry (cap 16, 1280 lanes), tr=32 allocates 120.2 MiB
+    scoped against a 111.4 MiB limit (compile-time OOM) while tr=16 fits.
+    The scoped stack tracks ~2.2x the analytic scratch footprint
+    (8 halo tiles + 3 accumulators + double-buffered outputs), so pick the
+    widest tile whose projected stack stays under 100 MiB."""
+    from .pallas_kernels import HALO
+
+    for tr in (32, 16, 8):
+        est = cap * cols_pad * 4 * (8 * (tr + 2 * HALO) + 9 * tr)
+        if est * 2.2 <= 100 * 1024 * 1024:
+            return tr
+    return 8
 
 
 def grid_constraints_resident(
@@ -320,10 +335,10 @@ def grid_constraints_resident(
     ph = cfg.physics
     t, rb, c = world.transform, world.rigid_body, world.collider
     R, C, cap = geom.rows, geom.cols, geom.capacity
-    tr = RESIDENT_TILE_ROWS
+    cp = -(-(C + 2) // 128) * 128
+    tr = resident_tile_rows(cap, cp)
     n_tiles = -(-R // tr)
     rows_buf = n_tiles * tr + 2 * HALO
-    cp = -(-(C + 2) // 128) * 128
     total = cap * rows_buf * cp
     n = t.x.shape[0]
     if n >= (1 << 24):
@@ -350,8 +365,6 @@ def grid_constraints_resident(
 
     gx = scat(t.x)
     gy = scat(t.y)
-    gpx = scat(rb.px)
-    gpy = scat(rb.py)
     grad = scat(c.radius)
     flags = (
         c.active.astype(jnp.int32)
@@ -368,10 +381,31 @@ def grid_constraints_resident(
     salt = world.step_count.astype(jnp.uint32)
     interp = jax.default_backend() != "tpu"
 
+    # px/py handling: the pair kernel never reads them — only the boundary
+    # bounce does. With elasticity == 0 the reflection collapses to
+    # px' = clamped-at-last-hit (no dependence on the old px), so the two
+    # px/py field scatters (~15 ms of the 1M frame) are replaced by NaN-init
+    # "last clamped value" carries updated elementwise in-loop; bit-exact.
+    carry_px = elasticity != 0.0
+    if carry_px:
+        gpx = scat(rb.px)
+        gpy = scat(rb.py)
+    else:
+        gpx = jnp.full((cap, rows_buf, cp), jnp.nan, jnp.float32)
+        gpy = jnp.full((cap, rows_buf, cp), jnp.nan, jnp.float32)
+
     def substep(_k, carry):
         gx, gy, gpx, gpy, cnt = carry
-        gx, gpx = _boundary(gx, gpx, grad, cfg.world_width, g_moving, elasticity)
-        gy, gpy = _boundary(gy, gpy, grad, cfg.world_height, g_moving, elasticity)
+        if carry_px:
+            gx, gpx = _boundary(gx, gpx, grad, cfg.world_width, g_moving, elasticity)
+            gy, gpy = _boundary(gy, gpy, grad, cfg.world_height, g_moving, elasticity)
+        else:
+            cx = jnp.clip(gx, grad, cfg.world_width - grad)
+            gpx = jnp.where(g_moving & (cx != gx), cx, gpx)
+            gx = jnp.where(g_moving, cx, gx)
+            cy = jnp.clip(gy, grad, cfg.world_height - grad)
+            gpy = jnp.where(g_moving & (cy != gy), cy, gpy)
+            gy = jnp.where(g_moving, cy, gy)
         nx, ny, c_ = pair_pass_resident(
             gx, gy, grad, meta, salt, strength,
             tile_rows=tr, interpret=interp,
@@ -397,8 +431,13 @@ def grid_constraints_resident(
     moving = t.active & rb.active & ~rb.static
     new_x = jnp.where(in_grid, rows[:, 0], t.x)
     new_y = jnp.where(in_grid, rows[:, 1], t.y)
-    new_px = jnp.where(in_grid, rows[:, 2], rb.px)
-    new_py = jnp.where(in_grid, rows[:, 3], rb.py)
+    if carry_px:
+        new_px = jnp.where(in_grid, rows[:, 2], rb.px)
+        new_py = jnp.where(in_grid, rows[:, 3], rb.py)
+    else:
+        # NaN carry = never boundary-hit: keep the original px/py
+        new_px = jnp.where(in_grid & jnp.isfinite(rows[:, 2]), rows[:, 2], rb.px)
+        new_py = jnp.where(in_grid & jnp.isfinite(rows[:, 3]), rows[:, 3], rb.py)
     new_count = jnp.where(in_grid, rows[:, 4].astype(jnp.int32), 0)
 
     # overflow entities: boundary-only fallback (idempotent clamp once)

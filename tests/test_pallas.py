@@ -55,3 +55,33 @@ class TestPallasPairPass:
         np.testing.assert_array_equal(
             wx.rigid_body.collision_count, wp.rigid_body.collision_count
         )
+
+    @pytest.mark.parametrize("seed", [1, 4])
+    def test_zero_elasticity_px_carry(self, seed):
+        """boundary_elasticity == 0 takes the px/py-scatter-free resident
+        path (NaN 'last clamped value' carries) — must stay bit-exact with
+        the XLA grid solver including entities that hit the world edges."""
+        s = random_scene(seed, n=70)
+        # park several entities hard against / beyond the world edges so the
+        # boundary clamp fires across substeps
+        s.x[:6] = [2.0, 598.0, 300.0, 1.0, 599.0, 300.0]
+        s.y[:6] = [200.0, 200.0, 2.0, 398.0, 1.0, 399.0]
+        s.px[:6] = s.x[:6] - 3.0  # inbound velocity
+        s.py[:6] = s.y[:6] - 2.0
+        geom = solver_geometry(
+            make_cfg("grid", boundary_elasticity=0.0), float(np.max(s.radius))
+        )
+        cg = make_cfg("grid", boundary_elasticity=0.0)
+        cp_ = make_cfg("pallas", boundary_elasticity=0.0)
+        wx = world_from_golden(s, cg)
+        wp = world_from_golden(s, cp_)
+        fx = jax.jit(lambda w: grid_constraints(w, cg, geom)[0])
+        fp = jax.jit(lambda w: grid_constraints(w, cp_, geom)[0])
+        for _ in range(3):
+            wx = fx(wx)
+            wp = fp(wp)
+        wx, wp = jax.device_get(wx), jax.device_get(wp)
+        np.testing.assert_array_equal(wx.transform.x, wp.transform.x)
+        np.testing.assert_array_equal(wx.transform.y, wp.transform.y)
+        np.testing.assert_array_equal(wx.rigid_body.px, wp.rigid_body.px)
+        np.testing.assert_array_equal(wx.rigid_body.py, wp.rigid_body.py)
