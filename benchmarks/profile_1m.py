@@ -155,6 +155,47 @@ def main() -> None:
     best, _ = timed(ud, world_m)
     results["update_derived"] = best
 
+    # --- the step phases OUTSIDE physics (the full_step-minus-parts gap) ---
+    from multithreadedgameengine_tpu.behavior import run_logic_phase
+    from multithreadedgameengine_tpu.engine import apply_inputs
+    from multithreadedgameengine_tpu.ops.culling import update_entity_visibility
+    from multithreadedgameengine_tpu.ops.spatial import (
+        NeighborLists, NeighborPayload,
+    )
+    from multithreadedgameengine_tpu.render.extract import advance_animation
+
+    type_ranges = tuple(
+        (reg.cls, reg.start_index, reg.count)
+        for reg in eng.classes.values() if reg.count > 0
+    )
+    fc = eng._frame_counts()
+    nn = world.transform.x.shape[0]
+    empty_nbr = NeighborLists(
+        ids=jnp.full((nn, 1), -1, jnp.int32),
+        d2=jnp.zeros((nn, 1), jnp.float32),
+        count=jnp.zeros((nn,), jnp.int32),
+        n_binned=jnp.int32(-1),
+        payload=NeighborPayload(data=jnp.zeros((nn, 1, 0), jnp.float32)),
+    )
+
+    lg = jax.jit(lambda w, i: run_logic_phase(
+        w, empty_nbr, i, cfg, type_ranges, {}
+    )[0])
+    best, _ = timed(lg, world_m, inputs)
+    results["logic_phase"] = best
+
+    aa = jax.jit(lambda w: advance_animation(w, fc, cfg.dt_ratio))
+    best, _ = timed(aa, world_m)
+    results["advance_animation"] = best
+
+    uv = jax.jit(lambda w, i: update_entity_visibility(w, cfg, i))
+    best, _ = timed(uv, world_m, inputs)
+    results["update_entity_visibility"] = best
+
+    wi = jax.jit(lambda w, i: apply_inputs(w, i))
+    best, _ = timed(wi, world_m, inputs)
+    results["write_inputs"] = best
+
     occ = jax.device_get(jnp.sum(meta != 0))
     print(json.dumps({
         "n": n_balls,

@@ -222,19 +222,27 @@ class SpawnCtx:
 class TickCtx:
     """Per-entity device view handed to ``tick`` inside vmap.
 
-    ``i`` and the neighbor arrays are per-entity (batched by vmap); ``world``
-    and ``inputs`` are closed-over unbatched pytrees, so reads like
-    ``ctx.world.transform.x[j]`` are gathers — the exact analog of the
-    reference's direct SoA array reads in hot loops (boid.js:137-240).
+    ``i``, the neighbor arrays and ``self_view`` are per-entity (batched by
+    vmap); ``world`` and ``inputs`` are closed-over unbatched pytrees, so
+    reads like ``ctx.world.transform.x[j]`` are gathers — the exact analog of
+    the reference's direct SoA array reads in hot loops (boid.js:137-240).
+
+    ``self_view`` is the class's contiguous slot range PRE-SLICED per
+    component ({comp_name: component rows}) and fed through vmap, so every
+    self-field read (``ctx.x``, ``ctx.field(...)``) lowers to a cheap static
+    slice of the world instead of an [count]-index gather — at 1M entities
+    the gathers were the single most expensive phase of the whole step
+    (~76 ms for the 4 fields the balls tick touches; slices are free).
+    Unread fields are sliced at trace time only and dead-code-eliminated.
     """
 
     __slots__ = ("i", "world", "neighbor_ids", "neighbor_d2", "neighbor_count",
                  "inputs", "dt_ratio", "config", "neighbor_payload",
-                 "payload_channels")
+                 "payload_channels", "self_view")
 
     def __init__(self, i, world: World, neighbor_ids, neighbor_d2,
                  neighbor_count, inputs: InputState, dt_ratio, config: EngineConfig,
-                 neighbor_payload=None, payload_channels=None):
+                 neighbor_payload=None, payload_channels=None, self_view=None):
         self.i = i
         self.world = world
         self.neighbor_ids = neighbor_ids  # int32[K], -1 padded
@@ -245,31 +253,47 @@ class TickCtx:
         self.config = config
         self.neighbor_payload = neighbor_payload  # f32[K, F] or None
         self.payload_channels = payload_channels or {}
+        self.self_view = self_view  # {comp_name: batched component} or None
 
     # -- self accessors (this.x / this.vx ... gameObject.js:226-295) --
+    def _self_field(self, comp_name: str, field: str) -> jnp.ndarray:
+        if self.self_view is not None:
+            comp = self.self_view.get(comp_name)
+            if comp is not None:
+                return getattr(comp, field)
+        if hasattr(self.world, comp_name):
+            comp = getattr(self.world, comp_name)
+        else:
+            comp = self.world.custom[comp_name]
+        return getattr(comp, field)[self.i]
+
     def field(self, path: str) -> jnp.ndarray:
-        return read_field(self.world, path)[self.i]
+        path = FIELD_ALIASES.get(path, path)
+        comp_name, _, field = path.partition(".")
+        if not field:
+            raise KeyError(f"field path {path!r} must be 'component.field'")
+        return self._self_field(comp_name, field)
 
     @property
-    def x(self): return self.world.transform.x[self.i]
+    def x(self): return self._self_field("transform", "x")
     @property
-    def y(self): return self.world.transform.y[self.i]
+    def y(self): return self._self_field("transform", "y")
     @property
-    def rotation(self): return self.world.transform.rotation[self.i]
+    def rotation(self): return self._self_field("transform", "rotation")
     @property
-    def entity_type(self): return self.world.transform.entity_type[self.i]
+    def entity_type(self): return self._self_field("transform", "entity_type")
     @property
-    def vx(self): return self.world.rigid_body.vx[self.i]
+    def vx(self): return self._self_field("rigid_body", "vx")
     @property
-    def vy(self): return self.world.rigid_body.vy[self.i]
+    def vy(self): return self._self_field("rigid_body", "vy")
     @property
-    def ax(self): return self.world.rigid_body.ax[self.i]
+    def ax(self): return self._self_field("rigid_body", "ax")
     @property
-    def ay(self): return self.world.rigid_body.ay[self.i]
+    def ay(self): return self._self_field("rigid_body", "ay")
     @property
-    def speed(self): return self.world.rigid_body.speed[self.i]
+    def speed(self): return self._self_field("rigid_body", "speed")
     @property
-    def velocity_angle(self): return self.world.rigid_body.velocity_angle[self.i]
+    def velocity_angle(self): return self._self_field("rigid_body", "velocity_angle")
 
     # -- neighbors (this.neighbors / updateNeighbors, gameObject.js:700-729) --
     @property
@@ -379,6 +403,31 @@ def _normalize_emit_request(
     return {"fields": fields, "valid": valid}
 
 
+#: World attributes that hold per-entity component rows (custom components
+#: are appended dynamically in :func:`_entity_view`).
+ENTITY_COMPONENT_ATTRS = (
+    "transform", "rigid_body", "collider", "sprite", "mouse", "light", "shadow",
+)
+
+
+def _entity_view(world: World, start: int, count: int) -> Dict[str, Any]:
+    """Slice every entity component's rows [start, start+count) into a flat
+    {comp_name: component} dict for TickCtx.self_view. ``start``/``count``
+    are static, so each field is a fusible slice; fields the tick never
+    reads are dead-code-eliminated at trace time."""
+    n = world.transform.x.shape[0]
+
+    def cut(comp):
+        if start == 0 and count == n:
+            return comp
+        return jax.tree_util.tree_map(lambda a: a[start:start + count], comp)
+
+    view = {name: cut(getattr(world, name)) for name in ENTITY_COMPONENT_ATTRS}
+    for name, comp in world.custom.items():
+        view[name] = cut(comp)
+    return view
+
+
 def run_logic_phase(
     world: World,
     nbr: NeighborLists,
@@ -420,15 +469,18 @@ def run_logic_phase(
             if has_payload else jnp.zeros((count, ids.shape[1], 0), jnp.float32)
         )
 
-        def one(i, ids_row, d2_row, cnt_i, payload_row):
+        view = _entity_view(world, start, count)
+
+        def one(i, ids_row, d2_row, cnt_i, payload_row, view_row):
             ctx = TickCtx(i, world, ids_row, d2_row, cnt_i, inputs,
                           jnp.float32(cfg.dt_ratio), cfg,
                           neighbor_payload=payload_row if has_payload else None,
-                          payload_channels=payload_channels)
+                          payload_channels=payload_channels,
+                          self_view=view_row)
             out = tick_fn(ctx)
             return out if out is not None else {}
 
-        outs = jax.vmap(one)(idx, ids, d2, cnt, payload)  # dict of [count] arrays
+        outs = jax.vmap(one)(idx, ids, d2, cnt, payload, view)  # dict of [count] arrays
         active_slice = jax.lax.dynamic_slice_in_dim(
             world.transform.active, start, count, 0
         )
@@ -500,15 +552,20 @@ def run_logic_phase_masked(
             continue
         tick_fn = tick.__func__ if isinstance(tick, (staticmethod, classmethod)) else tick
 
-        def one(i, ids_row, d2_row, cnt_i, payload_row):
+        view = _entity_view(world, 0, n)
+
+        def one(i, ids_row, d2_row, cnt_i, payload_row, view_row):
             ctx = TickCtx(i, world, ids_row, d2_row, cnt_i, inputs,
                           jnp.float32(cfg.dt_ratio), cfg,
                           neighbor_payload=payload_row if has_payload else None,
-                          payload_channels=payload_channels)
+                          payload_channels=payload_channels,
+                          self_view=view_row)
             out = tick_fn(ctx)
             return out if out is not None else {}
 
-        outs = jax.vmap(one)(idx, nbr.ids, nbr.d2, nbr.count, nbr.payload.data)
+        outs = jax.vmap(one)(
+            idx, nbr.ids, nbr.d2, nbr.count, nbr.payload.data, view
+        )
         mask_cls = world.transform.active & (
             world.transform.entity_type == jnp.int32(type_id)
         )
