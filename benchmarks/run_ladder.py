@@ -74,19 +74,19 @@ def rung_churn(n_balls: int = 10_000, churn: int = 256, frames: int = 60) -> dic
     eng = make_balls_engine(n_balls=n_balls, seed=123456)
     eng.step(5, block=True)  # warm the single-frame program
     rng = np.random.default_rng(7)
-    reg = eng.classes["Ball"]
 
     def one_frame():
-        active = [i for i in range(reg.start_index, reg.start_index + reg.count)
-                  if not reg.pool.is_free(i)]
-        for i in rng.choice(active, size=min(churn, len(active)), replace=False):
-            eng.despawn(int(i))
-        for _ in range(churn):
-            eng.spawn(
-                "Ball",
-                x=float(rng.uniform(100, 8900)),
-                y=float(rng.uniform(100, 1000)),
-            )
+        # the engine's churn-rate control plane: vectorized release + claim
+        # (despawn_batch / spawn_batch + on_spawned_batch), one scatter
+        # program each — the reference's per-call JS spawn loop equivalent
+        # runs through Engine.spawn()/despawn(), same world, slower host path
+        active = eng.active_indices("Ball")
+        eng.despawn_batch(rng.choice(active, size=min(churn, active.size), replace=False))
+        eng.spawn_batch(
+            "Ball", churn,
+            x=rng.uniform(100, 8900, churn).astype(np.float32),
+            y=rng.uniform(100, 1000, churn).astype(np.float32),
+        )
         eng.step(1)
 
     one_frame()

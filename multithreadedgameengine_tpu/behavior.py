@@ -167,6 +167,15 @@ class EntityClass:
         """Per spawn (host). Return {'component.field': scalar} writes."""
         return None
 
+    #: Optional VECTORIZED spawn hook: ``on_spawned_batch(ctx: BatchSpawnCtx,
+    #: spawn_arrays: {key: [n] array}) -> {path: [n] array}``. When defined,
+    #: ``Engine.spawn_batch`` calls it once for the whole batch instead of
+    #: ``on_spawned`` per entity — the churn-rate fast path. Implementations
+    #: must consume the seeded RNG stream in the same per-entity draw order
+    #: as ``on_spawned`` (use ``ctx.rng.draw(k)``) so both paths produce
+    #: bit-identical worlds.
+    on_spawned_batch = None
+
     @classmethod
     def on_despawned(cls, index: int) -> None:
         """Per despawn (host)."""
@@ -217,6 +226,19 @@ class SpawnCtx:
         self.index = index
         self.rng = rng
         self.sprites = sprites  # SpriteRegistry
+
+
+class BatchSpawnCtx:
+    """Host context for EntityClass.on_spawned_batch: one call covering
+    ``indices`` (ascending claim order). ``rng`` is the engine's shared
+    Mulberry32 stream — use ``rng.draw(k)`` so the batch consumes exactly
+    the draws ``len(indices)`` sequential on_spawned calls would."""
+
+    def __init__(self, config: EngineConfig, indices, rng, sprites=None):
+        self.config = config
+        self.indices = indices  # np.int32[n], claim order
+        self.rng = rng
+        self.sprites = sprites
 
 
 class TickCtx:

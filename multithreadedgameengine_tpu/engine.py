@@ -146,6 +146,8 @@ class RegisteredClass:
     count: int
     pool: EntityPool
     component_paths: List[str]
+    # precomputed spawn-reset defaults {path: value} (shared, copy-on-spawn)
+    reset_template: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
 class Engine:
@@ -246,6 +248,11 @@ class Engine:
                     raise ValueError(f"conflicting custom component name {name!r}")
                 self._custom_components[name] = comp
                 paths.append(name)
+        template = {
+            f"{comp_path}.{field}": value
+            for comp_path in paths
+            for field, value in self._SPAWN_RESETS.get(comp_path, {}).items()
+        }
         reg = RegisteredClass(
             cls=cls,
             entity_type=self._next_type,
@@ -253,6 +260,7 @@ class Engine:
             count=count,
             pool=EntityPool(self._next_index, count),
             component_paths=paths,
+            reset_template=template,
         )
         cls.entity_type = reg.entity_type
         cls.start_index = reg.start_index
@@ -365,10 +373,7 @@ class Engine:
             )
             return None
 
-        updates: Dict[str, Any] = {}
-        for comp_path in reg.component_paths:
-            for field, value in self._SPAWN_RESETS.get(comp_path, {}).items():
-                updates[f"{comp_path}.{field}"] = value
+        updates: Dict[str, Any] = dict(reg.reset_template)
 
         for key, value in spawn_config.items():
             path = FIELD_ALIASES.get(key, key)
@@ -447,16 +452,31 @@ class Engine:
                 np.broadcast_to(arr, (n,)).copy() if arr.ndim == 0 else arr[:n]
             )
 
-        for comp_path in reg.component_paths:
-            for field, value in self._SPAWN_RESETS.get(comp_path, {}).items():
-                put(f"{comp_path}.{field}", value)
+        for path, value in reg.reset_template.items():
+            put(path, value)
         for key, value in field_arrays.items():
             path = FIELD_ALIASES.get(key, key)
             if "." not in path:
                 raise KeyError(f"unknown spawn property {key!r}")
             put(path, value)
 
-        if call_on_spawned and (
+        batch_hook = getattr(reg.cls, "on_spawned_batch", None)
+        if call_on_spawned and batch_hook is not None:
+            # vectorized spawn hook: ONE call for the whole batch, consuming
+            # the same seeded RNG stream as `count` on_spawned calls would
+            # (classes guarantee draw-order parity; see EntityClass docs)
+            from .behavior import BatchSpawnCtx
+
+            cfg_arrays = {
+                key: np.broadcast_to(np.asarray(v), (n,))
+                for key, v in field_arrays.items()
+            }
+            ctx = BatchSpawnCtx(self.config, idx, self.rng, self.sprites)
+            out = batch_hook(ctx, cfg_arrays) or {}
+            for key, v in out.items():
+                put(FIELD_ALIASES.get(key, key), np.asarray(v))
+            self._track_radius(columns)
+        elif call_on_spawned and (
             reg.cls.on_spawned.__func__ is not EntityClass.on_spawned.__func__
         ):
             extra_cols: Dict[str, list] = {}
@@ -504,6 +524,61 @@ class Engine:
             return
         reg.cls.on_despawned(index)
         self._pending_ops.append(("despawn", index, None))
+
+    def despawn_batch(self, indices) -> int:
+        """Vectorized despawn of many indices: release pool slots + clear the
+        active flags through ONE scatter program — the churn-rate counterpart
+        of :meth:`despawn` (same gameObject.js:668-691 semantics, including
+        the double-despawn guard, applied setwise). ``on_despawned`` still
+        fires per entity when overridden. Returns how many were released."""
+        self._require_init()
+        self._flush_pending()  # keep op ordering w.r.t. queued singles
+        idxs = np.unique(np.asarray(indices, np.int64))
+        cols: Dict[str, List[np.ndarray]] = {}
+        released = 0
+        for reg in self.classes.values():
+            if reg.count == 0:
+                continue
+            in_range = idxs[
+                (idxs >= reg.start_index) & (idxs < reg.start_index + reg.count)
+            ]
+            if in_range.size == 0:
+                continue
+            fresh = np.asarray(
+                [i for i in in_range if not reg.pool.is_free(int(i))], np.int64
+            )
+            if fresh.size == 0:
+                continue
+            reg.pool.release_many(fresh)
+            released += int(fresh.size)
+            if reg.cls.on_despawned.__func__ is not EntityClass.on_despawned.__func__:
+                for i in fresh:
+                    reg.cls.on_despawned(int(i))
+            cols.setdefault("transform.active", []).append(fresh)
+            for comp_path in reg.component_paths:
+                comp = (
+                    getattr(self.world, comp_path)
+                    if hasattr(self.world, comp_path)
+                    else self.world.custom[comp_path]
+                )
+                if hasattr(comp, "active"):
+                    cols.setdefault(f"{comp_path}.active", []).append(fresh)
+        if cols:
+            self.world = self._apply_columns(self.world, {
+                path: (
+                    np.concatenate(parts).astype(np.int32),
+                    np.zeros(sum(p.size for p in parts), np.float32),
+                )
+                for path, parts in cols.items()
+            })
+        return released
+
+    def active_indices(self, class_name: str) -> np.ndarray:
+        """Currently-claimed entity indices of a class (host pool view;
+        device-side self-despawns need :meth:`reconcile_pools` first)."""
+        self._require_init()
+        self._flush_pending()
+        return self.classes[class_name].pool.active_indices()
 
     def despawn_all(self, class_name: Optional[str] = None) -> None:
         """despawnAllEntities (gameEngine.js:1677, logic_worker.js:654-711).

@@ -82,6 +82,7 @@ class InputController:
         self.camera_x = 0.0
         self.camera_y = 0.0
         self.camera_zoom = 1.0
+        self._snapshot_cache: InputState | None = None
 
     # -- keyboard (Keyboard.isDown, Keyboard.js:197-248) --
     def _key_idx(self, name: str) -> int:
@@ -93,9 +94,11 @@ class InputController:
 
     def key_down(self, name: str) -> None:
         self._keys[self._key_idx(name)] = True
+        self._snapshot_cache = None
 
     def key_up(self, name: str) -> None:
         self._keys[self._key_idx(name)] = False
+        self._snapshot_cache = None
 
     def is_down(self, name: str) -> bool:
         return bool(self._keys[self._key_idx(name)])
@@ -103,25 +106,64 @@ class InputController:
     # -- mouse --
     def set_mouse(self, x: float, y: float, present: bool = True) -> None:
         self.mouse_x, self.mouse_y, self.mouse_present = float(x), float(y), present
+        self._snapshot_cache = None
 
     def mouse_button(self, button: int, down: bool) -> None:
         self.mouse_buttons[button] = bool(down)
+        self._snapshot_cache = None
+
+    def set_camera(self, x: float = None, y: float = None, zoom: float = None) -> None:
+        if x is not None:
+            self.camera_x = float(x)
+        if y is not None:
+            self.camera_y = float(y)
+        if zoom is not None:
+            self.camera_zoom = float(zoom)
+        self._snapshot_cache = None
 
     @property
     def mouse_is_down(self) -> bool:
         return self.mouse_buttons[0]
 
     def snapshot(self) -> InputState:
-        return InputState(
-            mouse_x=jnp.float32(self.mouse_x),
-            mouse_y=jnp.float32(self.mouse_y),
-            mouse_buttons=jnp.asarray(self.mouse_buttons, jnp.bool_),
-            mouse_present=jnp.asarray(self.mouse_present),
-            keys=jnp.asarray(self._keys),
-            camera_x=jnp.float32(self.camera_x),
-            camera_y=jnp.float32(self.camera_y),
-            camera_zoom=jnp.float32(self.camera_zoom),
-        )
+        """The per-frame input pytree. Leaves are NUMPY scalars/arrays (jit
+        commits them at dispatch — building device arrays here would pay an
+        eager-op roundtrip per field per frame, which dominated churn-rate
+        host frames), and the snapshot is CACHED until an input mutator
+        invalidates it (the typical frame changes nothing).
+
+        Direct attribute writes (``input.camera_x = ...``) are caught by a
+        cheap host-side staleness compare, so every mutation path is safe."""
+        snap = self._snapshot_cache
+        if (
+            snap is None
+            or float(snap.mouse_x) != self.mouse_x
+            or float(snap.mouse_y) != self.mouse_y
+            or float(snap.camera_x) != self.camera_x
+            or float(snap.camera_y) != self.camera_y
+            or float(snap.camera_zoom) != self.camera_zoom
+            or bool(snap.mouse_present) != bool(self.mouse_present)
+            or not (
+                snap.mouse_buttons.tolist() == self.mouse_buttons
+                and np.array_equal(snap.keys, self._keys)
+            )
+        ):
+            snap = InputState(
+                mouse_x=np.float32(self.mouse_x),
+                mouse_y=np.float32(self.mouse_y),
+                mouse_buttons=np.asarray(self.mouse_buttons, np.bool_),
+                mouse_present=np.bool_(self.mouse_present),
+                keys=self._keys.copy(),
+                camera_x=np.float32(self.camera_x),
+                camera_y=np.float32(self.camera_y),
+                camera_zoom=np.float32(self.camera_zoom),
+            )
+            self._snapshot_cache = snap
+        return snap
+
+    def invalidate(self) -> None:
+        """Drop the cached snapshot (call after direct attribute writes)."""
+        self._snapshot_cache = None
 
 
 def key_index(name: str) -> int:

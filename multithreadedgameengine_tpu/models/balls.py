@@ -68,6 +68,36 @@ class Ball(EntityClass):
             "sprite.base_tint": color,
         }
 
+    @classmethod
+    def on_spawned_batch(cls, ctx, spawn_arrays):
+        """Vectorized on_spawned for Engine.spawn_batch (churn fast path).
+        Consumes the seeded stream in the same per-ball order as on_spawned:
+        radius then color (ball.js:66, :87) — bit-identical worlds."""
+        import numpy as np
+
+        n = len(ctx.indices)
+        draws = ctx.rng.draw(2 * n).reshape(n, 2)
+        radius64 = draws[:, 0] * 20.0 + 10.0
+        tint = np.asarray(BALL_COLORS, np.uint32)[
+            (draws[:, 1] * len(BALL_COLORS)).astype(np.int64)
+        ]
+        zero = np.zeros(n, np.float32)
+
+        def cfg(key):
+            v = spawn_arrays.get(key)
+            return zero if v is None else np.asarray(v, np.float32)
+
+        return {
+            "x": cfg("x"), "y": cfg("y"), "rotation": zero,
+            "vx": cfg("vx"), "vy": cfg("vy"),
+            "rigid_body.ax": zero, "rigid_body.ay": zero,
+            "collider.radius": radius64.astype(np.float32),
+            "sprite.scale_x": ((radius64 * 2.0) / BALL_PNG_SIZE).astype(np.float32),
+            "sprite.scale_y": ((radius64 * 2.0) / BALL_PNG_SIZE).astype(np.float32),
+            "sprite.alpha": np.ones(n, np.float32),
+            "sprite.tint": tint, "sprite.base_tint": tint,
+        }
+
     @staticmethod
     def tick(ctx):
         """ball.js:114-132 — mouse repulsion + 'm' key nudge. The physics

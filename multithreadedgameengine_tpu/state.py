@@ -202,6 +202,17 @@ class EntityPool:
     def is_free(self, idx: int) -> bool:
         return idx in self._free_set
 
+    def active_indices(self) -> np.ndarray:
+        """All currently-claimed indices, ascending, as one vectorized mask
+        pass — the churn-rate analog of scanning ``is_free`` per slot."""
+        mask = np.ones(self.count, bool)
+        if self._free_set:
+            rel = np.fromiter(
+                self._free_set, np.int64, len(self._free_set)
+            ) - self.start
+            mask[rel] = False
+        return (np.nonzero(mask)[0] + self.start).astype(np.int32)
+
     @property
     def free_count(self) -> int:
         return len(self.free)

@@ -267,3 +267,55 @@ class TestSpawnBatch:
         idx = eng.spawn_batch("Ball", 9, x=1.0, y=1.0)
         assert len(idx) == 5
         assert eng.get_pool_stats("Ball")["available"] == 0
+
+
+class TestBatchControlPlane:
+    """Vectorized churn-rate control plane: despawn_batch / active_indices
+    (the device-side analog of the reference's free-list churn steady state,
+    gameObject.js:668-691, :794-951)."""
+
+    def test_despawn_batch_releases_and_clears(self):
+        eng = small_engine(n=40, seed=5)
+        idx = eng.spawn_batch("Ball", 30, x=1.0, y=1.0)
+        victims = idx[:10]
+        assert eng.despawn_batch(victims) == 10
+        act = eng.active_indices("Ball")
+        assert act.size == 20
+        assert not np.intersect1d(act, victims).size
+        w = eng.snapshot()
+        assert not np.asarray(w.transform.active)[victims].any()
+        assert np.asarray(w.transform.active)[act].all()
+
+    def test_despawn_batch_double_despawn_guard(self):
+        eng = small_engine(n=20, seed=5)
+        idx = eng.spawn_batch("Ball", 10, x=1.0, y=1.0)
+        assert eng.despawn_batch(idx[:4]) == 4
+        # releasing again is a setwise no-op (double-despawn guard)
+        assert eng.despawn_batch(idx[:4]) == 0
+        assert eng.get_pool_stats("Ball")["active"] == 6
+        # freed slots are reusable exactly once each
+        again = eng.spawn_batch("Ball", 4, x=2.0, y=2.0)
+        assert len(again) == 4
+        assert eng.get_pool_stats("Ball")["active"] == 10
+
+    def test_batch_matches_singles_after_churn(self):
+        """A churn cycle through the batch APIs equals the same cycle through
+        per-call spawn/despawn (same pool order, same seeded draws)."""
+        def build(batch):
+            eng = small_engine(n=30, seed=9)
+            xs = [eng.rng() * 1000.0 for _ in range(12)]
+            ys = [eng.rng() * 800.0 for _ in range(12)]
+            if batch:
+                idx = eng.spawn_batch("Ball", 12, x=np.asarray(xs), y=np.asarray(ys))
+                eng.despawn_batch(idx[3:6])
+            else:
+                idx = [eng.spawn("Ball", x=xs[k], y=ys[k]) for k in range(12)]
+                for i in idx[3:6]:
+                    eng.despawn(i)
+            eng.step(3)
+            return eng.snapshot()
+
+        a, b = build(False), build(True)
+        np.testing.assert_array_equal(a.transform.active, b.transform.active)
+        np.testing.assert_array_equal(a.transform.x, b.transform.x)
+        np.testing.assert_array_equal(a.collider.radius, b.collider.radius)
