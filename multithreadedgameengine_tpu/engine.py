@@ -960,9 +960,21 @@ class Engine:
                     world.collision_pairs, world.collision_pair_count,
                     world.prev_collision_pairs, world.prev_collision_pair_count,
                 )
+                # The optimization_barrier around the prev:=cur swap is a
+                # WORKAROUND for an axon-runtime buffer-aliasing fault: with
+                # the set-diff AND the swap in one program, the compiled
+                # step executes once and then every re-execution dies with
+                # INVALID_ARGUMENT (bisected on v5e: record-only, diff-only
+                # and swap-only all re-execute fine; diff+swap fails; the
+                # barrier — or disabling donation — fixes it). The barrier
+                # is semantically the identity; it only pins these values to
+                # distinct buffers.
+                new_prev = jax.lax.optimization_barrier(
+                    (world.collision_pairs, world.collision_pair_count)
+                )
                 world = world.replace(
-                    prev_collision_pairs=world.collision_pairs,
-                    prev_collision_pair_count=world.collision_pair_count,
+                    prev_collision_pairs=new_prev[0],
+                    prev_collision_pair_count=new_prev[1],
                     event_enter=enter, event_enter_count=n_e,
                     event_stay=stay, event_stay_count=n_s,
                     event_exit=exit_, event_exit_count=n_x,
@@ -1068,18 +1080,46 @@ class Engine:
             self.config.physics.max_collision_pairs,
         )
 
-        def chunk(world: World, inputs: InputState):
-            def body(w, _):
-                w, metrics = one_step(w, inputs)
-                log = (
-                    w.event_enter[:cap], jnp.minimum(w.event_enter_count, cap),
-                    w.event_stay[:cap], jnp.minimum(w.event_stay_count, cap),
-                    w.event_exit[:cap], jnp.minimum(w.event_exit_count, cap),
-                )
-                return w, (log, metrics)
+        def write_log(logs, w, f):
+            e, ne, s, ns, x, nx = logs
+            row = jax.lax.optimization_barrier((
+                w.event_enter[None, :cap], jnp.minimum(w.event_enter_count, cap),
+                w.event_stay[None, :cap], jnp.minimum(w.event_stay_count, cap),
+                w.event_exit[None, :cap], jnp.minimum(w.event_exit_count, cap),
+            ))
+            return (
+                jax.lax.dynamic_update_slice(e, row[0], (f, 0, 0)),
+                ne.at[f].set(row[1]),
+                jax.lax.dynamic_update_slice(s, row[2], (f, 0, 0)),
+                ns.at[f].set(row[3]),
+                jax.lax.dynamic_update_slice(x, row[4], (f, 0, 0)),
+                nx.at[f].set(row[5]),
+            )
 
-            world, (logs, ms) = jax.lax.scan(body, world, None, length=k)
-            final_metrics = jax.tree.map(lambda a: a[-1], ms)
+        def chunk(world: World, inputs: InputState):
+            # fori_loop + preallocated log buffers, NOT lax.scan: on the
+            # axon runtime a scan-stacked event log compiles and executes
+            # once, then every re-execution fails with INVALID_ARGUMENT
+            # (same family as the aliasing fault bisected in _build_step's
+            # events block — fori-form programs with the barrier re-execute
+            # fine, scan-form never did). The barrier pins each frame's log
+            # row to distinct buffers from the world's event-table outputs.
+            logs0 = (
+                jnp.full((k, cap, 2), -1, jnp.int32), jnp.zeros((k,), jnp.int32),
+                jnp.full((k, cap, 2), -1, jnp.int32), jnp.zeros((k,), jnp.int32),
+                jnp.full((k, cap, 2), -1, jnp.int32), jnp.zeros((k,), jnp.int32),
+            )
+            world, metrics = one_step(world, inputs)
+            logs0 = write_log(logs0, world, 0)
+
+            def body(f, carry):
+                w, logs, _m = carry
+                w, m = one_step(w, inputs)
+                return (w, write_log(logs, w, f), m)
+
+            world, logs, final_metrics = jax.lax.fori_loop(
+                1, k, body, (world, logs0, metrics)
+            )
             return world, logs, final_metrics
 
         # NO donation: under the axon runtime, donating the world into this
