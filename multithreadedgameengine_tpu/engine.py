@@ -134,6 +134,33 @@ class CollisionEventCtx:
             {int(i): int(v) for i, v in zip(ids, np.asarray(ts))}
         )
 
+    @classmethod
+    def from_logged(cls, engine: "Engine", rows) -> "CollisionEventCtx":
+        """Build from per-frame logged tables — ``rows`` is a list of
+        (ids [m, 2] int32, coords [m, 2, 3] f32 (x, y, entity_type)) pairs
+        produced by the event-chunk program's in-loop gather. No device
+        work: the chunked path must not execute any extra program between
+        chunk executions (axon re-execution fault, see _event_chunk_fn)."""
+        self = cls.__new__(cls)
+        self.engine = engine
+        self.emitter = engine.emitter
+        xm: Dict[int, float] = {}
+        ym: Dict[int, float] = {}
+        tm: Dict[int, int] = {}
+        for ids, coords in rows:
+            flat_ids = np.asarray(ids).reshape(-1)
+            flat_co = np.asarray(coords).reshape(-1, 3)
+            for i, co in zip(flat_ids, flat_co):
+                i = int(i)
+                if i >= 0:
+                    xm[i] = float(co[0])
+                    ym[i] = float(co[1])
+                    tm[i] = int(co[2])
+        self.x = _RowView(xm)
+        self.y = _RowView(ym)
+        self.entity_type = _RowView(tm)
+        return self
+
     def type_of(self, index: int) -> int:
         return self.entity_type[index]
 
@@ -1043,14 +1070,7 @@ class Engine:
             return world, metrics
 
         def n_steps(world: World, inputs: InputState, n: jnp.ndarray):
-            zero_metrics = {
-                "active_count": jnp.int32(0),
-                "collision_pair_count": jnp.int32(0),
-                "collision_pairs_dropped": jnp.int32(0),
-                "n_binned": jnp.int32(0),
-                "active_particles": jnp.int32(0),
-                "nonfinite_count": jnp.int32(0),
-            }
+            zero_metrics = self._zero_metrics()
 
             def body(_i, carry):
                 w, _m = carry
@@ -1063,15 +1083,41 @@ class Engine:
         self._step_n_fn = jax.jit(n_steps, donate_argnums=0)
         self._event_chunk_fns = {}
 
-    def _event_chunk_fn(self, k: int):
-        """Compiled k-frame chunk with a per-frame event LOG: every frame's
-        Enter/Stay/Exit tables stack in device memory (lax.scan) and the host
-        pulls them once per chunk — amortizing the device roundtrip that
+    @staticmethod
+    def _zero_metrics() -> Dict[str, jnp.ndarray]:
+        """Loop-carry init matching one_step's metrics pytree."""
+        return {
+            "active_count": jnp.int32(0),
+            "collision_pair_count": jnp.int32(0),
+            "collision_pairs_dropped": jnp.int32(0),
+            "n_binned": jnp.int32(0),
+            "active_particles": jnp.int32(0),
+            "nonfinite_count": jnp.int32(0),
+        }
+
+    def _event_chunk_fn(self):
+        """ONE compiled dynamic-length event-log chunk: steps ``n ≤
+        logic.event_chunk`` frames in a device loop, logging every frame's
+        Enter/Stay/Exit tables AND the participants' x/y/entity_type rows
+        (gathered in-program at that frame's post-step positions). The host
+        pulls one log per chunk — amortizing the device roundtrip that
         per-frame dispatch pays (the axon tunnel costs ~30 ms per sync; 60
-        steps/s with events is unreachable without this). Events stay
-        per-frame-accurate; hooks run at the chunk boundary
-        (logic.event_chunk docs)."""
-        fn = self._event_chunk_fns.get(k)
+        steps/s with events is unreachable without this).
+
+        Why one dynamic-``n`` executable instead of one program per chunk
+        length, and why the coords ride the log: on the axon runtime the
+        event-log programs are fragile against re-execution (see the
+        aliasing bisect notes in _build_step's events block) — observed
+        failure modes included a second chunk executable wedging after the
+        first had run, and the inter-chunk jitted participant gather
+        preceding a failing re-execution. A single fori_loop program with a
+        traced bound plus in-program gathers leaves nothing else to execute
+        between chunks (and saves the multi-minute compile per distinct
+        chunk length). Per-frame participant coordinates are also MORE
+        faithful than the old chunk-end gather: hooks see the positions of
+        the frame their event fired in (logic_worker.js:429-443 reads
+        current SoA state when dispatching)."""
+        fn = self._event_chunk_fns.get("dyn")
         if fn is not None:
             return fn
         one_step = self._one_step_raw
@@ -1079,48 +1125,51 @@ class Engine:
             self.config.logic.max_events_per_frame,
             self.config.physics.max_collision_pairs,
         )
+        K = max(1, self.config.logic.event_chunk)
+
+        def table_log(w, ids, count):
+            j = jnp.maximum(ids, 0)  # [cap, 2]
+            coords = jnp.stack(
+                [
+                    w.transform.x[j], w.transform.y[j],
+                    w.transform.entity_type[j].astype(jnp.float32),
+                ],
+                axis=-1,
+            )  # [cap, 2, 3]
+            return ids, jnp.minimum(count, cap), coords
 
         def write_log(logs, w, f):
-            e, ne, s, ns, x, nx = logs
-            row = jax.lax.optimization_barrier((
-                w.event_enter[None, :cap], jnp.minimum(w.event_enter_count, cap),
-                w.event_stay[None, :cap], jnp.minimum(w.event_stay_count, cap),
-                w.event_exit[None, :cap], jnp.minimum(w.event_exit_count, cap),
-            ))
-            return (
-                jax.lax.dynamic_update_slice(e, row[0], (f, 0, 0)),
-                ne.at[f].set(row[1]),
-                jax.lax.dynamic_update_slice(s, row[2], (f, 0, 0)),
-                ns.at[f].set(row[3]),
-                jax.lax.dynamic_update_slice(x, row[4], (f, 0, 0)),
-                nx.at[f].set(row[5]),
+            row = jax.lax.optimization_barrier(
+                table_log(w, w.event_enter[:cap], w.event_enter_count)
+                + table_log(w, w.event_stay[:cap], w.event_stay_count)
+                + table_log(w, w.event_exit[:cap], w.event_exit_count)
             )
+            out = []
+            for k3 in range(3):
+                ids, cnt, coords = row[3 * k3], row[3 * k3 + 1], row[3 * k3 + 2]
+                e, ne, ec = logs[3 * k3], logs[3 * k3 + 1], logs[3 * k3 + 2]
+                out += [
+                    jax.lax.dynamic_update_slice(e, ids[None], (f, 0, 0)),
+                    ne.at[f].set(cnt),
+                    jax.lax.dynamic_update_slice(ec, coords[None], (f, 0, 0, 0)),
+                ]
+            return tuple(out)
 
-        def chunk(world: World, inputs: InputState):
-            # fori_loop + preallocated log buffers, NOT lax.scan: on the
-            # axon runtime a scan-stacked event log compiles and executes
-            # once, then every re-execution fails with INVALID_ARGUMENT
-            # (same family as the aliasing fault bisected in _build_step's
-            # events block — fori-form programs with the barrier re-execute
-            # fine, scan-form never did). The barrier pins each frame's log
-            # row to distinct buffers from the world's event-table outputs.
+        def chunk(world: World, inputs: InputState, n: jnp.ndarray):
             logs0 = (
-                jnp.full((k, cap, 2), -1, jnp.int32), jnp.zeros((k,), jnp.int32),
-                jnp.full((k, cap, 2), -1, jnp.int32), jnp.zeros((k,), jnp.int32),
-                jnp.full((k, cap, 2), -1, jnp.int32), jnp.zeros((k,), jnp.int32),
-            )
-            world, metrics = one_step(world, inputs)
-            logs0 = write_log(logs0, world, 0)
+                jnp.full((K, cap, 2), -1, jnp.int32),
+                jnp.zeros((K,), jnp.int32),
+                jnp.zeros((K, cap, 2, 3), jnp.float32),
+            ) * 3
 
             def body(f, carry):
                 w, logs, _m = carry
                 w, m = one_step(w, inputs)
                 return (w, write_log(logs, w, f), m)
 
-            world, logs, final_metrics = jax.lax.fori_loop(
-                1, k, body, (world, logs0, metrics)
+            return jax.lax.fori_loop(
+                0, n, body, (world, logs0, self._zero_metrics())
             )
-            return world, logs, final_metrics
 
         # NO donation: under the axon runtime, donating the world into this
         # program intermittently fails with INVALID_ARGUMENT on its second
@@ -1128,7 +1177,7 @@ class Engine:
         # event pulls all read leaves); an undonated copy of the world is a
         # few MB at the scenes that use events
         fn = jax.jit(chunk)
-        self._event_chunk_fns[k] = fn
+        self._event_chunk_fns["dyn"] = fn
         return fn
 
     def _step_events_chunked(self, n: int) -> Dict[str, Any]:
@@ -1144,25 +1193,28 @@ class Engine:
             k = min(k_cfg, remaining)
             remaining -= k
             t0 = time.time()
-            fresh = k not in self._event_chunk_fns
-            fn = self._event_chunk_fn(k)
-            self.world, logs, metrics = fn(self.world, inputs)
+            fresh = "dyn" not in self._event_chunk_fns
+            fn = self._event_chunk_fn()
+            self.world, logs, metrics = fn(self.world, inputs, jnp.int32(k))
             if has_hooks:
-                (enter, n_e, stay, n_s, exit_, n_x) = (
-                    np.asarray(v) for v in jax.device_get(logs)
-                )
-                if int(n_e.sum() + n_s.sum() + n_x.sum()):
-                    ids = np.concatenate(
-                        [enter.reshape(-1, 2), stay.reshape(-1, 2),
-                         exit_.reshape(-1, 2)]
-                    )
-                    ctx = CollisionEventCtx(self, ids[ids[:, 0] >= 0])
+                (
+                    enter, n_e, e_co, stay, n_s, s_co, exit_, n_x, x_co,
+                ) = (np.asarray(v) for v in jax.device_get(logs))
+                if int(n_e[:k].sum() + n_s[:k].sum() + n_x[:k].sum()):
                     for f in range(k):
+                        ce, cs, cx = int(n_e[f]), int(n_s[f]), int(n_x[f])
+                        if not (ce or cs or cx):
+                            continue
+                        ctx = CollisionEventCtx.from_logged(
+                            self,
+                            [
+                                (enter[f, :ce], e_co[f, :ce]),
+                                (stay[f, :cs], s_co[f, :cs]),
+                                (exit_[f, :cx], x_co[f, :cx]),
+                            ],
+                        )
                         self._fire_collision_tables(
-                            ctx,
-                            enter[f, : int(n_e[f])],
-                            stay[f, : int(n_s[f])],
-                            exit_[f, : int(n_x[f])],
+                            ctx, enter[f, :ce], stay[f, :cs], exit_[f, :cx],
                         )
                 # hook control-plane effects land before the next chunk
                 self._flush_pending()
