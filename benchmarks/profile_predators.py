@@ -50,7 +50,7 @@ def main() -> None:
     from multithreadedgameengine_tpu.ops.physics import physics_step
     from multithreadedgameengine_tpu.ops.spatial import neighbor_lists
     from multithreadedgameengine_tpu.render.extract import advance_animation
-    from multithreadedgameengine_tpu.state import read_field
+    from multithreadedgameengine_tpu.behavior import read_field
 
     t0 = time.time()
     eng = make_predators_engine(n_prey=n_prey)

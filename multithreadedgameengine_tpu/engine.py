@@ -750,8 +750,11 @@ class Engine:
             val_pad[: np_vals.size] = np_vals.astype(np.float32)
             idx_parts.append(idx_pad)
             val_parts.append(val_pad)
-        idx_all = jnp.asarray(np.concatenate(idx_parts))
-        val_all = jnp.asarray(np.concatenate(val_parts))
+        # numpy args ship WITH the dispatch (jit commits them); an explicit
+        # jnp.asarray here would be a separate blocking transfer RPC through
+        # the axon tunnel per flush — at churn rates that serialized frames
+        idx_all = np.concatenate(idx_parts)
+        val_all = np.concatenate(val_parts)
 
         key = (names, tuple(buckets))
         fn = self._flush_fns.get(key)
@@ -780,10 +783,10 @@ class Engine:
 
         if self._emission_fn is None:
             self._emission_fn = jax.jit(apply_emission)
+        # batch stays numpy: jit commits the arrays with the dispatch (an
+        # eager jnp.asarray per field would be a blocking tunnel RPC each)
         pool, _spawned = self._emission_fn(
-            self.world.particles,
-            {k: jnp.asarray(v) for k, v in batch.items()},
-            jnp.int32(n),
+            self.world.particles, batch, jnp.int32(n),
         )
         self.world = self.world.replace(particles=pool)
 
@@ -965,19 +968,56 @@ class Engine:
             # reference's logic workers consume (logic_worker.js:429-443)
             if cfg.logic.collision_events:
                 from .ops.physics import record_collision_pairs
+                from .ops.spatial import NeighborPayload as _NP
 
-                pay = nbr.payload.data
-                r_j = pay[..., payload_channels["collider.radius"]]
-                coll_j = pay[..., payload_channels["collider.active"]] > 0
+                # Collision pairs need d < r_i + r_j ≤ 2·r_max: when the
+                # scan radius exceeds 1 but 2·r_max ≤ cell_size, only the
+                # 3×3 sub-neighborhood of the (2R+1)² candidate scan can
+                # hold contacts — subset the candidate axis before the
+                # top-k pair prefilter (top_k over the full predators scan
+                # width was the dominant events-on cost). Static slices in
+                # scan order keep the reference's truncation order.
+                nbr_ev = nbr
+                ids_ev, d2_ev, pay_ev = nbr.ids, nbr.d2, nbr.payload.data
+                scan_r = cfg.spatial.max_cell_radius
+                if (
+                    scan_r > 1
+                    and 2.0 * max(self._max_radius, self._solver_radius_bound)
+                    <= cfg.spatial.cell_size
+                    and nbr.ids.shape[1]
+                    == ((2 * scan_r + 1) ** 2) * cfg.spatial.cell_capacity
+                ):
+                    w_scan = 2 * scan_r + 1
+                    capk = cfg.spatial.cell_capacity
+                    blocks = [
+                        (dr + scan_r) * w_scan + (dc + scan_r)
+                        for dr in (-1, 0, 1)
+                        for dc in (-1, 0, 1)
+                    ]
+
+                    def _sub(a):
+                        return jnp.concatenate(
+                            [a[:, b * capk : (b + 1) * capk] for b in blocks],
+                            axis=1,
+                        )
+
+                    ids_ev, d2_ev, pay_ev = _sub(nbr.ids), _sub(nbr.d2), _sub(nbr.payload.data)
+                    nbr_ev = NeighborLists(
+                        ids=ids_ev, d2=d2_ev, count=nbr.count,
+                        n_binned=nbr.n_binned, payload=_NP(data=pay_ev),
+                    )
+
+                r_j = pay_ev[..., payload_channels["collider.radius"]]
+                coll_j = pay_ev[..., payload_channels["collider.active"]] > 0
                 t2, c2 = world.transform, world.collider
                 ok = (
                     (t2.active & c2.active)[:, None]
-                    & (nbr.ids >= 0)
+                    & (ids_ev >= 0)
                     & coll_j
                 )
                 min_d = c2.radius[:, None] + r_j
-                rec = ok & (nbr.d2 < min_d * min_d)
-                world, pairs_dropped = record_collision_pairs(world, nbr, rec, cfg)
+                rec = ok & (d2_ev < min_d * min_d)
+                world, pairs_dropped = record_collision_pairs(world, nbr_ev, rec, cfg)
                 # Enter/Stay/Exit set-diff ON DEVICE (ops/events.py): the
                 # host reads three compact tables instead of pulling the
                 # whole pair list and diffing in numpy every frame
@@ -1126,23 +1166,41 @@ class Engine:
             self.config.physics.max_collision_pairs,
         )
         K = max(1, self.config.logic.event_chunk)
+        # hook-aware logging: a table kind with no registered hook anywhere
+        # logs zero-width rows — no device writes, no tunnel transfer, no
+        # host loop (the predators scene registers only on_collision_stay;
+        # logging all three tripled the per-chunk pull for nothing). Hooks
+        # are class attributes, so define them before the first step — the
+        # chunk program caches the hooked set.
+        hooked3 = tuple(
+            any(
+                getattr(reg.cls, h, None) is not None
+                for reg in self.classes.values()
+            )
+            for h in ("on_collision_enter", "on_collision_stay", "on_collision_exit")
+        )
+        # width-1 placeholder (NOT zero-width: zero-sized buffers are elided
+        # by the executable's calling convention and break the jax-level
+        # buffer count) with the logged count forced to 0
+        caps = tuple(cap if h else 1 for h in hooked3)
 
-        def table_log(w, ids, count):
-            j = jnp.maximum(ids, 0)  # [cap, 2]
+        def table_log(w, ids, count, cap_t, hooked):
+            j = jnp.maximum(ids, 0)  # [cap_t, 2]
             coords = jnp.stack(
                 [
                     w.transform.x[j], w.transform.y[j],
                     w.transform.entity_type[j].astype(jnp.float32),
                 ],
                 axis=-1,
-            )  # [cap, 2, 3]
-            return ids, jnp.minimum(count, cap), coords
+            )  # [cap_t, 2, 3]
+            cnt = jnp.minimum(count, cap_t) if hooked else jnp.int32(0)
+            return ids, cnt, coords
 
         def write_log(logs, w, f):
             row = jax.lax.optimization_barrier(
-                table_log(w, w.event_enter[:cap], w.event_enter_count)
-                + table_log(w, w.event_stay[:cap], w.event_stay_count)
-                + table_log(w, w.event_exit[:cap], w.event_exit_count)
+                table_log(w, w.event_enter[: caps[0]], w.event_enter_count, caps[0], hooked3[0])
+                + table_log(w, w.event_stay[: caps[1]], w.event_stay_count, caps[1], hooked3[1])
+                + table_log(w, w.event_exit[: caps[2]], w.event_exit_count, caps[2], hooked3[2])
             )
             out = []
             for k3 in range(3):
@@ -1156,11 +1214,15 @@ class Engine:
             return tuple(out)
 
         def chunk(world: World, inputs: InputState, n: jnp.ndarray):
-            logs0 = (
-                jnp.full((K, cap, 2), -1, jnp.int32),
-                jnp.zeros((K,), jnp.int32),
-                jnp.zeros((K, cap, 2, 3), jnp.float32),
-            ) * 3
+            logs0 = tuple(
+                buf
+                for cap_t in caps
+                for buf in (
+                    jnp.full((K, cap_t, 2), -1, jnp.int32),
+                    jnp.zeros((K,), jnp.int32),
+                    jnp.zeros((K, cap_t, 2, 3), jnp.float32),
+                )
+            )
 
             def body(f, carry):
                 w, logs, _m = carry

@@ -255,18 +255,49 @@ def neighbor_lists_grid(
     )
     bins = bin_entities(x, y, valid_entity, geom, table_values=rows_vals)
 
-    # --- candidate gather over the (2R+1)^2 neighborhood, row-major ---
-    offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
-    off_r = jnp.repeat(offs, 2 * radius + 1)  # row-major: row outer
-    off_c = jnp.tile(offs, 2 * radius + 1)
-    cand_row = bins.row[:, None] + off_r[None, :]  # [N, B]
-    cand_col = bins.col[:, None] + off_c[None, :]
-    in_bounds = (
-        (cand_row >= 0) & (cand_row < rows_n) & (cand_col >= 0) & (cand_col < cols)
-    )
-    cand_cell = jnp.where(in_bounds, cand_row * cols + cand_col, cells)
-    flat = bins.table[cand_cell]  # [N, B, cap, F] — one row-gather
-    flat = flat.reshape(n, -1, flat.shape[-1])  # [N, S, F]
+    cap, f_ch = sp.cell_capacity, rows_vals.shape[1]
+    b_cells = (2 * radius + 1) ** 2
+    # Candidate assembly strategy. The per-entity form gathers N·B table
+    # rows of [cap, F] — per-INDEX gather latency made this 80% of the
+    # predators-full step on v5e (~25 ms of a 30 ms frame at N=15k, B=25).
+    # The cell-major form instead builds the whole neighborhood PER CELL
+    # with static shifts of the padded table (no gather at all: concat of
+    # (2R+1)² shifted slices, identical row-major offset/slot order), then
+    # fetches each entity's assembled [B·cap, F] row with ONE index — B×
+    # fewer gather indices for the same bytes. Worth it whenever the
+    # assembled table fits a modest memory budget.
+    cellmajor_bytes = (cells + 1) * b_cells * cap * f_ch * 4
+    if cellmajor_bytes <= 256 * 1024 * 1024:
+        tbl = bins.table[:cells].reshape(rows_n, cols, cap, f_ch)
+        r = radius
+        padded = jnp.zeros(
+            (rows_n + 2 * r, cols + 2 * r, cap, f_ch), jnp.float32
+        ).at[..., 0].set(-1.0)  # out-of-world cells: empty (id -1)
+        padded = padded.at[r : r + rows_n, r : r + cols].set(tbl)
+        nbh = jnp.concatenate(
+            [
+                padded[r + dr : r + dr + rows_n, r + dc : r + dc + cols]
+                for dr in range(-r, r + 1)
+                for dc in range(-r, r + 1)
+            ],
+            axis=2,
+        ).reshape(cells, b_cells * cap, f_ch)
+        sentinel = jnp.zeros((1, b_cells * cap, f_ch), jnp.float32).at[..., 0].set(-1.0)
+        nbh = jnp.concatenate([nbh, sentinel], axis=0)
+        flat = nbh[bins.cell_id]  # [N, S, F] — one row per entity
+    else:
+        # --- per-entity candidate gather, (2R+1)^2 neighborhood, row-major ---
+        offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
+        off_r = jnp.repeat(offs, 2 * radius + 1)  # row-major: row outer
+        off_c = jnp.tile(offs, 2 * radius + 1)
+        cand_row = bins.row[:, None] + off_r[None, :]  # [N, B]
+        cand_col = bins.col[:, None] + off_c[None, :]
+        in_bounds = (
+            (cand_row >= 0) & (cand_row < rows_n) & (cand_col >= 0) & (cand_col < cols)
+        )
+        cand_cell = jnp.where(in_bounds, cand_row * cols + cand_col, cells)
+        flat = bins.table[cand_cell]  # [N, B, cap, F] — one row-gather
+        flat = flat.reshape(n, -1, flat.shape[-1])  # [N, S, F]
     cand = flat[..., 0].astype(jnp.int32)
     n_binned = bins.n_binned
 

@@ -294,3 +294,46 @@ class TestFastSpawn:
         )
         # host RNG cursors agree too: later spawns stay in lockstep
         assert a.rng() == b.rng()
+
+
+class TestHookAwareEventLog:
+    def test_stay_only_hooks_fire_with_logged_coords(self):
+        """A scene registering only on_collision_stay: the chunk program
+        logs zero-width Enter/Exit tables (hook-aware logging) and the stay
+        hooks still fire with per-frame participant coordinates."""
+        from multithreadedgameengine_tpu import Engine, make_config
+        from multithreadedgameengine_tpu.behavior import EntityClass
+        from multithreadedgameengine_tpu.components import Collider, RigidBody
+
+        fired = []
+
+        class Blob(EntityClass):
+            components = [RigidBody, Collider]
+            uses_neighbors = False
+
+            @classmethod
+            def setup(cls, ctx):
+                return {"collider.radius": 10.0, "collider.visual_range": 50.0}
+
+            on_collision_stay = staticmethod(
+                lambda ctx, me, other: fired.append(
+                    (me, other, float(ctx.x[other]), float(ctx.y[other]))
+                )
+            )
+
+        eng = Engine(make_config(
+            world_width=500.0, world_height=500.0, seed=3,
+            spatial=dict(cell_size=25.0, max_neighbors=16, cell_capacity=8),
+            physics=dict(max_collision_pairs=64, gravity=(0.0, 0.0)),
+            logic=dict(collision_events=True, event_chunk=4),
+        ))
+        eng.register_entity_class(Blob, 8)
+        eng.init()
+        for k in range(4):
+            eng.spawn("Blob", x=100.0 + k * 12.0, y=100.0)
+        eng.step(8)
+        eng.sync()
+        assert fired
+        for me, other, x, y in fired:
+            assert np.isfinite(x) and np.isfinite(y)
+            assert 0.0 <= x <= 500.0 and 0.0 <= y <= 500.0
