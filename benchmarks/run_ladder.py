@@ -174,25 +174,52 @@ def rung_predators(
     }
 
 
+RUNGS = {
+    "balls_10000": (rung_balls, (10_000,), {}),
+    "balls_100000": (rung_balls, (100_000,), {}),
+    "balls_1000000": (rung_balls, (1_000_000,), {"chunk": 10}),
+    "churn": (rung_churn, (), {}),
+    "boids_15000": (rung_boids, (), {}),
+    "predators_events": (rung_predators, (), {"events": True}),
+    "predators_noevents": (rung_predators, (), {"events": False}),
+}
+
+
 def main() -> None:
+    # each rung runs in its OWN subprocess: the axon TPU runtime accumulates
+    # per-process executable state that has wedged later rungs after an
+    # earlier engine's programs ran (INVALID_ARGUMENT on otherwise-healthy
+    # programs); process isolation also contains any one rung's crash
+    if len(sys.argv) > 1 and sys.argv[1] == "--rung":
+        name = sys.argv[2]
+        fn, args, kw = RUNGS[name]
+        print("RUNG_JSON " + json.dumps(fn(*args, **kw)), flush=True)
+        return
+
+    import subprocess
+
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_LADDER.json"
     results = []
-
-    def run(name, fn, *args, **kw):
+    for name in RUNGS:
         try:
-            r = fn(*args, **kw)
+            proc = subprocess.run(
+                [sys.executable, "-u", __file__, "--rung", name],
+                capture_output=True, text=True, timeout=3000,
+            )
+            line = next(
+                (ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("RUNG_JSON ")),
+                None,
+            )
+            if line is None:
+                tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+                r = {"metric": name, "error": " | ".join(tail)}
+            else:
+                r = json.loads(line[len("RUNG_JSON "):])
         except Exception as e:  # keep the ladder going
             r = {"metric": name, "error": str(e)}
         print(json.dumps(r), flush=True)
         results.append(r)
-
-    run("balls_10000", rung_balls, 10_000)
-    run("balls_100000", rung_balls, 100_000)
-    run("balls_1000000", rung_balls, 1_000_000, chunk=10)
-    run("churn", rung_churn)
-    run("boids_15000", rung_boids)
-    run("predators_events", rung_predators, events=True)
-    run("predators_noevents", rung_predators, events=False)
 
     import jax
 

@@ -876,7 +876,12 @@ class Engine:
         fc = np.ones((len(sheets) + 1, max_anims), np.int32)
         for s in sheets:
             fc[s.sheet_id, : len(s.frame_counts)] = s.frame_counts
-        return jnp.asarray(fc)
+        # NUMPY, not a device array: closed-over device arrays are lifted to
+        # hidden executable parameters nondeterministically across otherwise
+        # identical engines, which desynchronizes the cpp-jit call convention
+        # ("Execution supplied N buffers but compiled program expected N+2");
+        # numpy constants embed in the jaxpr deterministically
+        return fc
 
     def _build_step(self):
         cfg = self._resolve_spatial()
@@ -921,17 +926,28 @@ class Engine:
 
         has_particles = cfg.particle.max_particles > 0
         decals_on = has_particles and cfg.particle.decals
-        decal_textures = None
         if decals_on:
             from .ops.decals import default_decal_textures
 
-            decal_textures = default_decal_textures(len(self.sprites.textures))
+            self._tex_np = default_decal_textures(len(self.sprites.textures))
+        else:
+            self._tex_np = np.zeros((1, 1, 1, 4), np.float32)
 
         from .render.extract import advance_animation
 
-        frame_counts = self._frame_counts()
+        self._fc_np = self._frame_counts()
 
-        def one_step(world: World, inputs: InputState):
+        # frame_counts / decal_textures are EXPLICIT jit arguments, not
+        # closure constants: jax 0.9's captured-constant lifting decides
+        # per-trace whether a data constant becomes a hidden executable
+        # parameter, and the decision (driven by a global constant cache)
+        # can differ between structurally identical engines in one process,
+        # desynchronizing the call convention ("Execution supplied N buffers
+        # but compiled program expected N+2"). Arguments are deterministic.
+        def one_step_impl(
+            world: World, inputs: InputState,
+            frame_counts, decal_textures,
+        ):
             world = write_inputs(world, inputs)
             t, c = world.transform, world.collider
             if need_neighbors:
@@ -1109,30 +1125,43 @@ class Engine:
             }
             return world, metrics
 
-        def n_steps(world: World, inputs: InputState, n: jnp.ndarray):
-            zero_metrics = self._zero_metrics()
+        fc_np, tex_np = self._fc_np, self._tex_np
+
+        def one_step(world: World, inputs: InputState):
+            """Constant-binding wrapper for external harnesses (bench,
+            dryrun, halo) that jit a (world, inputs) step themselves."""
+            return one_step_impl(world, inputs, fc_np, tex_np)
+
+        def n_steps(world: World, inputs: InputState, n: jnp.ndarray,
+                    frame_counts, decal_textures):
+            zero_metrics = self._zero_metrics(world)
 
             def body(_i, carry):
                 w, _m = carry
-                return one_step(w, inputs)
+                return one_step_impl(w, inputs, frame_counts, decal_textures)
 
             return jax.lax.fori_loop(0, n, body, (world, zero_metrics))
 
         self._one_step_raw = one_step
-        self._step_fn = jax.jit(one_step, donate_argnums=0)
+        self._one_step_impl = one_step_impl
+        self._step_fn = jax.jit(one_step_impl, donate_argnums=0)
         self._step_n_fn = jax.jit(n_steps, donate_argnums=0)
         self._event_chunk_fns = {}
 
     @staticmethod
-    def _zero_metrics() -> Dict[str, jnp.ndarray]:
-        """Loop-carry init matching one_step's metrics pytree."""
+    def _zero_metrics(world: World) -> Dict[str, jnp.ndarray]:
+        """Loop-carry init matching one_step's metrics pytree. Derived from
+        a traced world leaf, NOT fresh jnp scalars — trace-created concrete
+        constants feed the nondeterministic constant-lifting path (see the
+        one_step_impl note in _build_step)."""
+        z = world.step_count * 0
         return {
-            "active_count": jnp.int32(0),
-            "collision_pair_count": jnp.int32(0),
-            "collision_pairs_dropped": jnp.int32(0),
-            "n_binned": jnp.int32(0),
-            "active_particles": jnp.int32(0),
-            "nonfinite_count": jnp.int32(0),
+            "active_count": z,
+            "collision_pair_count": z,
+            "collision_pairs_dropped": z,
+            "n_binned": z,
+            "active_particles": z,
+            "nonfinite_count": z,
         }
 
     def _event_chunk_fn(self):
@@ -1193,7 +1222,9 @@ class Engine:
                 ],
                 axis=-1,
             )  # [cap_t, 2, 3]
-            cnt = jnp.minimum(count, cap_t) if hooked else jnp.int32(0)
+            # w.step_count * 0, not jnp.int32(0): trace-created concrete
+            # scalars feed the nondeterministic constant-lifting path
+            cnt = jnp.minimum(count, cap_t) if hooked else w.step_count * 0
             return ids, cnt, coords
 
         def write_log(logs, w, f):
@@ -1213,33 +1244,66 @@ class Engine:
                 ]
             return tuple(out)
 
-        def chunk(world: World, inputs: InputState, n: jnp.ndarray):
+        one_step_impl = self._one_step_impl
+
+        def chunk(world: World, inputs: InputState, n: jnp.ndarray,
+                  frame_counts, decal_textures):
+            # log inits derive from a traced leaf (see _zero_metrics note):
+            # trace-created concrete constants must not appear here
+            zi = world.step_count * 0
+            zf = zi.astype(jnp.float32)
             logs0 = tuple(
                 buf
                 for cap_t in caps
                 for buf in (
-                    jnp.full((K, cap_t, 2), -1, jnp.int32),
-                    jnp.zeros((K,), jnp.int32),
-                    jnp.zeros((K, cap_t, 2, 3), jnp.float32),
+                    jnp.broadcast_to(zi - 1, (K, cap_t, 2)),
+                    jnp.broadcast_to(zi, (K,)),
+                    jnp.broadcast_to(zf, (K, cap_t, 2, 3)),
                 )
             )
 
             def body(f, carry):
                 w, logs, _m = carry
-                w, m = one_step(w, inputs)
+                w, m = one_step_impl(w, inputs, frame_counts, decal_textures)
                 return (w, write_log(logs, w, f), m)
 
+            # traced lower bound: a literal 0 here becomes the last
+            # trace-created constant in this program (see _zero_metrics note)
             return jax.lax.fori_loop(
-                0, n, body, (world, logs0, self._zero_metrics())
+                world.step_count * 0, n, body,
+                (world, logs0, self._zero_metrics(world)),
             )
 
         # NO donation: under the axon runtime, donating the world into this
         # program intermittently fails with INVALID_ARGUMENT on its second
         # execution when world leaves were read between chunks (sync/stats/
         # event pulls all read leaves); an undonated copy of the world is a
-        # few MB at the scenes that use events
+        # few MB at the scenes that use events.
+        # Unique per-engine name: the cpp-pjit fastpath cache is keyed
+        # partly by function name — two engines' identically-named,
+        # identically-shaped chunk programs can collide and replay the
+        # other's calling convention (buffer count/size mismatches)
+        chunk.__name__ = f"event_chunk_{id(self):x}"
+        chunk.__qualname__ = chunk.__name__
         fn = jax.jit(chunk)
         self._event_chunk_fns["dyn"] = fn
+        return fn
+
+    def _event_chunk_compiled(self, world, inputs):
+        """AOT-compiled chunk executable (lower().compile()): the jit
+        dispatch path's global fastpath cache misbehaves across multiple
+        engines in one process (buffer count/size mismatches from replayed
+        calling conventions); the AOT object is engine-private. The chunk
+        jaxpr is kept constant-free (every init derives from traced leaves)
+        so the compiled parameter list is exactly (world, inputs, n, fc,
+        tex)."""
+        fn = self._event_chunk_fns.get("dyn_compiled")
+        if fn is None:
+            jfn = self._event_chunk_fn()
+            fn = jfn.lower(
+                world, inputs, jnp.int32(1), self._fc_np, self._tex_np
+            ).compile()
+            self._event_chunk_fns["dyn_compiled"] = fn
         return fn
 
     def _step_events_chunked(self, n: int) -> Dict[str, Any]:
@@ -1255,9 +1319,11 @@ class Engine:
             k = min(k_cfg, remaining)
             remaining -= k
             t0 = time.time()
-            fresh = "dyn" not in self._event_chunk_fns
-            fn = self._event_chunk_fn()
-            self.world, logs, metrics = fn(self.world, inputs, jnp.int32(k))
+            fresh = "dyn_compiled" not in self._event_chunk_fns
+            fn = self._event_chunk_compiled(self.world, inputs)
+            self.world, logs, metrics = fn(
+                self.world, inputs, jnp.int32(k), self._fc_np, self._tex_np
+            )
             if has_hooks:
                 (
                     enter, n_e, e_co, stay, n_s, s_co, exit_, n_x, x_co,
@@ -1345,10 +1411,12 @@ class Engine:
         inputs = self.input.snapshot()
         t0 = time.time()
         if n == 1:
-            self.world, metrics = self._step_fn(self.world, inputs)
+            self.world, metrics = self._step_fn(
+                self.world, inputs, self._fc_np, self._tex_np
+            )
         else:
             self.world, metrics = self._step_n_fn(
-                self.world, inputs, jnp.int32(n)
+                self.world, inputs, jnp.int32(n), self._fc_np, self._tex_np
             )
         if block or self._profiling:
             self.sync()

@@ -60,7 +60,10 @@ def default_decal_textures(n_textures: int) -> jnp.ndarray:
     tex = np.concatenate([rgb, alpha[..., None].astype(np.float32)], axis=-1)
     bank = np.zeros((max(n_textures, 1) + 1, TEX_SIZE, TEX_SIZE, 4), np.float32)
     bank[1:] = tex[None]
-    return jnp.asarray(bank)
+    # numpy on purpose: this is closed over by the fused step — device-array
+    # closure constants are lifted to hidden executable params
+    # nondeterministically (see Engine._frame_counts)
+    return bank
 
 
 def stamp_decals(
@@ -74,6 +77,7 @@ def stamp_decals(
     (stampParticleToTile, particle_worker.js:550-671) and mark dirty tiles."""
     if stamps.x.shape[0] == 0 or canvas.shape[0] <= 1:
         return canvas, dirty
+    textures = jnp.asarray(textures)  # numpy closure const -> traced constant
     res = cfg.particle.decals_resolution
     h, w = canvas.shape[:2]
     ty, tx = dirty.shape

@@ -26,9 +26,10 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-_I32_MAX = jnp.int32(2**31 - 1)
+_I32_MAX = np.int32(2**31 - 1)  # numpy scalar: inline literal in every trace (device-array module constants feed the nondeterministic const-hoisting path)
 
 
 def diff_pairs(

@@ -59,6 +59,9 @@ def advance_animation(
     animation's frame count (pixi_worker.js:963-984)."""
     s = world.sprite
     run = s.active & s.is_animated & world.transform.active
+    # frame_counts arrives as NUMPY (deterministic jaxpr constant — see
+    # Engine._frame_counts); convert inside the trace before tracer indexing
+    frame_counts = jnp.asarray(frame_counts)
     n_sheets, n_anims = frame_counts.shape
     sheet = jnp.clip(s.spritesheet_id, 0, n_sheets - 1)
     anim = jnp.clip(s.animation_state, 0, n_anims - 1)

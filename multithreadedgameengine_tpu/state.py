@@ -156,18 +156,29 @@ class EntityPool:
             while base + offset < count:
                 order.append(start + base + offset)
                 base += self.INTERLEAVE
-        self.free: list = order  # top of stack = end of list
-        self._free_set = set(order)
+        # LIFO as a numpy stack (top = end) + dense membership mask indexed
+        # by (idx - start): O(1) single ops, and bulk release/query are pure
+        # vector passes — the python list+set form made despawn_all at 1M a
+        # multi-hundred-ms per-element affair (VERDICT r1 next #5)
+        self._free_arr = np.asarray(order, np.int64)
+        self._free_top = count
+        self._free_mask = np.ones(count, bool)
         self.active_count = 0
+
+    @property
+    def free(self) -> np.ndarray:
+        """Current free stack, bottom-to-top (top of stack = last element)."""
+        return self._free_arr[: self._free_top]
 
     def claim(self) -> Optional[int]:
         """Pop one index (gameObject.js:868). Returns None on exhaustion
         (pool-exhaustion warns + returns null in the reference,
         gameObject.js:860-865)."""
-        if not self.free:
+        if self._free_top == 0:
             return None
-        idx = self.free.pop()
-        self._free_set.discard(idx)
+        self._free_top -= 1
+        idx = int(self._free_arr[self._free_top])
+        self._free_mask[idx - self.start] = False
         self.active_count += 1
         return idx
 
@@ -179,43 +190,46 @@ class EntityPool:
         duplicate the entry and alias two later spawns onto one slot."""
         if not (self.start <= idx < self.start + self.count):
             raise ValueError(f"index {idx} outside pool [{self.start}, {self.start + self.count})")
-        if idx in self._free_set:
+        if self._free_mask[idx - self.start]:
             return False
-        self.free.append(idx)
-        self._free_set.add(idx)
+        self._free_arr[self._free_top] = idx
+        self._free_top += 1
+        self._free_mask[idx - self.start] = True
         self.active_count -= 1
         return True
 
     def release_many(self, indices) -> None:
         """Bulk release in ascending order (despawnAll's per-index loop,
         gameObject.js:1001-1034, vectorized). Skips already-free indices."""
-        fresh = [int(i) for i in indices if int(i) not in self._free_set]
-        self.free.extend(fresh)
-        self._free_set.update(fresh)
-        self.active_count -= len(fresh)
+        rel = np.unique(np.asarray(indices, np.int64)) - self.start
+        fresh = rel[~self._free_mask[rel]]
+        m = int(fresh.size)
+        self._free_arr[self._free_top : self._free_top + m] = fresh + self.start
+        self._free_top += m
+        self._free_mask[fresh] = True
+        self.active_count -= m
 
-    def restore_free(self, free: list) -> None:
+    def restore_free(self, free) -> None:
         """Replace the free list wholesale (checkpoint restore)."""
-        self.free = list(free)
-        self._free_set = set(self.free)
+        arr = np.asarray(free, np.int64)
+        self._free_arr = np.empty(self.count, np.int64)
+        self._free_arr[: arr.size] = arr
+        self._free_top = int(arr.size)
+        self._free_mask = np.zeros(self.count, bool)
+        if arr.size:
+            self._free_mask[arr - self.start] = True
 
     def is_free(self, idx: int) -> bool:
-        return idx in self._free_set
+        return bool(self._free_mask[idx - self.start])
 
     def active_indices(self) -> np.ndarray:
         """All currently-claimed indices, ascending, as one vectorized mask
         pass — the churn-rate analog of scanning ``is_free`` per slot."""
-        mask = np.ones(self.count, bool)
-        if self._free_set:
-            rel = np.fromiter(
-                self._free_set, np.int64, len(self._free_set)
-            ) - self.start
-            mask[rel] = False
-        return (np.nonzero(mask)[0] + self.start).astype(np.int32)
+        return (np.nonzero(~self._free_mask)[0] + self.start).astype(np.int32)
 
     @property
     def free_count(self) -> int:
-        return len(self.free)
+        return self._free_top
 
 
 def scatter_fields(component, idx: jnp.ndarray, updates: Dict[str, jnp.ndarray]):
