@@ -30,6 +30,10 @@ BASELINE_STEPS_PER_SEC = 60.0
 def main() -> None:
     import jax
 
+    from multithreadedgameengine_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from multithreadedgameengine_tpu.models.balls import make_balls_engine
 
     eng = make_balls_engine(n_balls=N_BALLS, seed=123456)

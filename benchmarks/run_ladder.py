@@ -66,7 +66,10 @@ def rung_balls(n_balls: int, chunk: int = 20) -> dict:
     }
 
 
-def rung_churn(n_balls: int = 10_000, churn: int = 256, frames: int = 60) -> dict:
+def rung_churn(
+    n_balls: int = 10_000, churn: int = 256, frames: int = 60,
+    plan_chunk: int = 30,
+) -> dict:
     import numpy as np
 
     from multithreadedgameengine_tpu.models.balls import make_balls_engine
@@ -75,25 +78,30 @@ def rung_churn(n_balls: int = 10_000, churn: int = 256, frames: int = 60) -> dic
     eng.step(5, block=True)  # warm the single-frame program
     rng = np.random.default_rng(7)
 
-    def one_frame():
-        # the engine's churn-rate control plane: vectorized release + claim
-        # (despawn_batch / spawn_batch + on_spawned_batch), one scatter
-        # program each — the reference's per-call JS spawn loop equivalent
-        # runs through Engine.spawn()/despawn(), same world, slower host path
-        active = eng.active_indices("Ball")
-        eng.despawn_batch(rng.choice(active, size=min(churn, active.size), replace=False))
-        eng.spawn_batch(
-            "Ball", churn,
-            x=rng.uniform(100, 8900, churn).astype(np.float32),
-            y=rng.uniform(100, 1000, churn).astype(np.float32),
-        )
-        eng.step(1)
+    def run_frames(count: int) -> None:
+        # the device-resident control plane (FramePlan): per-frame despawn/
+        # spawn op tables + input snapshots applied IN-program, one device
+        # dispatch per plan_chunk frames — the reference spawns at 60 FPS
+        # inside its running loop (gameObject.js:840-951); the previous
+        # host-per-frame path paid ~2 tunnel dispatches per frame
+        plan = eng.begin_plan()
+        for _ in range(count):
+            active = eng.active_indices("Ball")
+            plan.despawn_batch(
+                rng.choice(active, size=min(churn, active.size), replace=False)
+            )
+            plan.spawn_batch(
+                "Ball", churn,
+                x=rng.uniform(100, 8900, churn).astype(np.float32),
+                y=rng.uniform(100, 1000, churn).astype(np.float32),
+            )
+            plan.next_frame()
+        eng.run_plan(plan, max_chunk=plan_chunk)
 
-    one_frame()
+    run_frames(plan_chunk)  # warm the plan program (same K/bucket key)
     eng.sync()
     t0 = time.time()
-    for _ in range(frames):
-        one_frame()
+    run_frames(frames)
     eng.sync()
     per = (time.time() - t0) / frames
     stats = eng.get_pool_stats("Ball")
@@ -191,6 +199,9 @@ def main() -> None:
     # earlier engine's programs ran (INVALID_ARGUMENT on otherwise-healthy
     # programs); process isolation also contains any one rung's crash
     if len(sys.argv) > 1 and sys.argv[1] == "--rung":
+        from multithreadedgameengine_tpu.utils.cache import enable_compile_cache
+
+        enable_compile_cache()
         name = sys.argv[2]
         fn, args, kw = RUNGS[name]
         print("RUNG_JSON " + json.dumps(fn(*args, **kw)), flush=True)

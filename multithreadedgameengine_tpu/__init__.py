@@ -37,7 +37,7 @@ from .config import (
     SpatialConfig,
     make_config,
 )
-from .engine import Engine, Mouse
+from .engine import Engine, FramePlan, Mouse
 from .inputs import InputController, InputState
 from .rng import Mulberry32
 from .state import World, make_world
@@ -46,6 +46,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Engine",
+    "FramePlan",
     "EntityClass",
     "TickCtx",
     "Mouse",

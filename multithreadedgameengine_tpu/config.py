@@ -104,6 +104,15 @@ class LogicConfig:
     event_chunk: int = 1
     # log capacity per frame per event kind under chunked stepping
     max_events_per_frame: int = 1024
+    # Pair-recording scope. By default, when any class registers a collision
+    # hook, only pairs with at least one HOOKED participant are recorded
+    # (recorded from the hooked side) — the unhooked-vs-unhooked pairs the
+    # reference also writes to collisionData could never fire a hook here,
+    # and skipping them shrinks the recording pass from O(entities) to
+    # O(hooked entities). With no hooks registered, all pairs are recorded
+    # (the collisionData-as-user-API case). Set True to force full recording
+    # alongside hooks (reading world.collision_pairs for every pair).
+    record_all_pairs: bool = False
 
 
 @dataclass(frozen=True)

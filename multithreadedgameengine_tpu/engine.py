@@ -165,6 +165,112 @@ class CollisionEventCtx:
         return self.entity_type[index]
 
 
+class FramePlan:
+    """Device-resident control plane: queue per-frame spawn/despawn ops and
+    input snapshots HOST-side, then :meth:`Engine.run_plan` executes all
+    frames in ONE device dispatch, applying each frame's op scatters and
+    input snapshot in-program before stepping it.
+
+    The reference spawns/despawns at 60 FPS inside its running loop
+    (gameObject.js:840-951 via the postMessage fan-out,
+    gameEngine.js:1651-1670); the per-frame host round trip that emulated
+    that (flush program + step program per frame) cost ~2 tunnel dispatches
+    per frame — the worst rung of the round-2 ladder. A plan keeps the
+    reference's exact spawn semantics (host pool authoritative: slots claim
+    at plan-build time in call order, on_spawned/on_despawned hooks and the
+    seeded RNG stream run host-side exactly as the immediate paths do) while
+    the world writes ride the step program as a [frames, slots] packed
+    scatter table.
+
+    Usage::
+
+        plan = eng.begin_plan()
+        for f in range(60):
+            plan.despawn_batch(victims(f))
+            plan.spawn_batch("Ball", 256, x=..., y=...)
+            eng.input.set_mouse(...)        # optional: per-frame inputs
+            plan.next_frame()               # frame boundary (captures input)
+        eng.run_plan(plan)                  # one dispatch per ≤max_chunk frames
+
+    Do not interleave immediate ``eng.spawn``/``eng.despawn``/``eng.step``
+    calls with plan building — the plan's world writes land when the plan
+    runs, after any immediate ops."""
+
+    def __init__(self, engine: "Engine"):
+        self.engine = engine
+        # per finished frame: ({path: (idx, f32 vals)}, InputState)
+        self.frames: List[Tuple[Dict[str, Tuple[np.ndarray, np.ndarray]], InputState]] = []
+        self._cur: List[Dict[str, Tuple[np.ndarray, np.ndarray]]] = []
+        self._cur_ops: List[Tuple[str, Any, Any]] = []
+
+    # -- per-frame ops (claim/release pools NOW, scatter at run time) --
+    def spawn(self, class_name: str, **spawn_config) -> Optional[int]:
+        op = self.engine._spawn_op(class_name, spawn_config)
+        if op is None:
+            return None
+        i, updates = op
+        self._cur_ops.append(("spawn", i, updates))
+        return i
+
+    def despawn(self, index: int) -> None:
+        if self.engine._despawn_op(index):
+            self._cur_ops.append(("despawn", index, None))
+
+    def spawn_batch(
+        self, class_name: str, count: int, call_on_spawned: bool = True,
+        **field_arrays,
+    ) -> np.ndarray:
+        self._flush_singles()
+        idx, columns = self.engine._spawn_batch_columns(
+            class_name, count, call_on_spawned, field_arrays
+        )
+        if idx.size:
+            self._cur.append(
+                {p: (idx, np.asarray(v)) for p, v in columns.items()}
+            )
+        return idx
+
+    def despawn_batch(self, indices) -> int:
+        self._flush_singles()
+        released, cols = self.engine._despawn_batch_columns(indices)
+        if cols:
+            self._cur.append(
+                {p: (i, np.zeros(i.size, np.float32)) for p, i in cols.items()}
+            )
+        return released
+
+    def _flush_singles(self) -> None:
+        if self._cur_ops:
+            ops, self._cur_ops = self._cur_ops, []
+            self._cur.append(self.engine._ops_to_columns(ops))
+
+    def next_frame(self) -> None:
+        """Close the current frame: merge its op columns (last write per
+        index wins, as in _flush_pending) and capture the input snapshot."""
+        self._flush_singles()
+        merged: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        for colset in self._cur:
+            for path, (i, v) in colset.items():
+                i = np.asarray(i, np.int32)
+                v = np.asarray(v, np.float32)  # f32-exact, see _apply_columns
+                if path in merged:
+                    pi, pv = merged[path]
+                    i, v = np.concatenate([pi, i]), np.concatenate([pv, v])
+                merged[path] = (i, v)
+        final: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        for path, (i, v) in merged.items():
+            if i.size > 1:
+                _, last = np.unique(i[::-1], return_index=True)
+                keep = np.sort(i.size - 1 - last)
+                i, v = i[keep], v[keep]
+            final[path] = (i, v)
+        self._cur = []
+        self.frames.append((final, self.engine.input.snapshot()))
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+
 @dataclasses.dataclass
 class RegisteredClass:
     cls: type
@@ -196,6 +302,11 @@ class Engine:
         elif kwargs:
             raise TypeError("pass either a config object or kwargs, not both")
         self.config = config.validated()
+        # persistent XLA compile cache: warm reruns skip the multi-minute
+        # compiles (idempotent; MTGE_NO_COMPILE_CACHE=1 opts out)
+        from .utils.cache import enable_compile_cache
+
+        enable_compile_cache()
         self.rng = Mulberry32(self.config.seed)
         self.input = InputController()
         from .assets import SpriteRegistry
@@ -227,6 +338,8 @@ class Engine:
         self._step_fn = None
         self._step_n_fn = None
         self._event_chunk_fns: Dict[int, Any] = {}
+        self._plan_fns: Dict[Any, Any] = {}
+        self._events_sig_built = None
         self._flush_fns: Dict[Any, Any] = {}
         self._event_gather_fns: Dict[int, Any] = {}
         self._pending_ops: List[Tuple[str, Any]] = []
@@ -390,6 +503,18 @@ class Engine:
         component slots, apply spawn config, sync Verlet px/py, run
         on_spawned, THEN set active. Returns the entity index, or None when
         the pool is exhausted."""
+        op = self._spawn_op(class_name, spawn_config)
+        if op is None:
+            return None
+        i, updates = op
+        self._pending_ops.append(("spawn", i, updates))
+        return i
+
+    def _spawn_op(
+        self, class_name: str, spawn_config: Dict[str, Any]
+    ) -> Optional[Tuple[int, Dict[str, Any]]]:
+        """Claim a slot and build its spawn-write dict (the device-agnostic
+        half of :meth:`spawn`, shared with :class:`FramePlan`)."""
         self._require_init()
         reg = self.classes[class_name]
         i = reg.pool.claim()
@@ -426,8 +551,7 @@ class Engine:
 
         updates["transform.active"] = True
         self._track_radius(updates)
-        self._pending_ops.append(("spawn", i, updates))
-        return i
+        return i, updates
 
     def _track_radius(self, updates: Dict[str, Any]) -> None:
         r = updates.get("collider.radius")
@@ -455,6 +579,24 @@ class Engine:
         Returns the claimed indices (fewer than requested on exhaustion)."""
         self._require_init()
         self._flush_pending()  # keep op ordering w.r.t. queued singles
+        idx, columns = self._spawn_batch_columns(
+            class_name, count, call_on_spawned, field_arrays
+        )
+        if idx.size == 0:
+            return idx
+        self.world = self._apply_columns(
+            self.world,
+            {path: (idx, np.asarray(vals)) for path, vals in columns.items()},
+        )
+        return idx
+
+    def _spawn_batch_columns(
+        self, class_name: str, count: int, call_on_spawned: bool,
+        field_arrays: Dict[str, Any],
+    ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+        """Claim up to ``count`` slots and build the columnar spawn writes —
+        the device-agnostic half of :meth:`spawn_batch`, shared with
+        :class:`FramePlan`. Returns (claimed idx, {path: [n] values})."""
         reg = self.classes[class_name]
         indices = []
         for _ in range(count):
@@ -468,7 +610,7 @@ class Engine:
             indices.append(i)
         n = len(indices)
         if n == 0:
-            return np.empty((0,), np.int32)
+            return np.empty((0,), np.int32), {}
         idx = np.asarray(indices, np.int32)
 
         columns: Dict[str, np.ndarray] = {}
@@ -494,8 +636,15 @@ class Engine:
             # (classes guarantee draw-order parity; see EntityClass docs)
             from .behavior import BatchSpawnCtx
 
+            # truncate-or-broadcast exactly like put(): on partial pool
+            # exhaustion (n < count) an array-valued config must shrink to
+            # the claimed slots, not broadcast-fail
             cfg_arrays = {
-                key: np.broadcast_to(np.asarray(v), (n,))
+                key: (
+                    np.asarray(v)[:n]
+                    if np.asarray(v).ndim > 0
+                    else np.broadcast_to(np.asarray(v), (n,))
+                )
                 for key, v in field_arrays.items()
             }
             ctx = BatchSpawnCtx(self.config, idx, self.rng, self.sprites)
@@ -534,33 +683,57 @@ class Engine:
             columns["rigid_body.py"] = np.asarray(y, np.float64) - np.asarray(vy, np.float64)
         columns["transform.active"] = np.ones(n, bool)
         self._track_radius(columns)
-
-        self.world = self._apply_columns(
-            self.world, {path: (idx, np.asarray(vals)) for path, vals in columns.items()}
-        )
-        return idx
+        return idx, columns
 
     def despawn(self, index: int) -> None:
         """Despawn by index (gameObject.js:668-691). A no-op on an index that
         is already inactive — the reference's double-despawn guard
         (gameObject.js:668-670): releasing a slot twice would duplicate the
         free-list entry and alias two later spawns."""
+        if self._despawn_op(index):
+            self._pending_ops.append(("despawn", index, None))
+
+    def _despawn_op(self, index: int) -> bool:
+        """Release the pool slot + fire on_despawned (the device-agnostic
+        half of :meth:`despawn`, shared with :class:`FramePlan`)."""
         self._require_init()
         reg = self._class_of_index(index)
         if not reg.pool.release(index):
-            return
+            return False
         reg.cls.on_despawned(index)
-        self._pending_ops.append(("despawn", index, None))
+        return True
 
     def despawn_batch(self, indices) -> int:
         """Vectorized despawn of many indices: release pool slots + clear the
         active flags through ONE scatter program — the churn-rate counterpart
         of :meth:`despawn` (same gameObject.js:668-691 semantics, including
         the double-despawn guard, applied setwise). ``on_despawned`` still
-        fires per entity when overridden. Returns how many were released."""
+        fires per entity when overridden. Returns how many were released.
+
+        Free-stack order matches issuing the same despawns singly in the
+        SAME order: duplicates dedupe to their first occurrence and each
+        pool receives its indices in caller order (pools are independent,
+        so per-class partitioning preserves per-pool push order exactly)."""
         self._require_init()
         self._flush_pending()  # keep op ordering w.r.t. queued singles
-        idxs = np.unique(np.asarray(indices, np.int64))
+        released, cols = self._despawn_batch_columns(indices)
+        if cols:
+            self.world = self._apply_columns(self.world, {
+                path: (idx, np.zeros(idx.size, np.float32))
+                for path, idx in cols.items()
+            })
+        return released
+
+    def _despawn_batch_columns(
+        self, indices
+    ) -> Tuple[int, Dict[str, np.ndarray]]:
+        """Release pool slots + fire hooks and return the active-flag clear
+        columns {path: indices} — the device-agnostic half of
+        :meth:`despawn_batch`, shared with :class:`FramePlan`."""
+        idxs = np.asarray(indices, np.int64).reshape(-1)
+        if idxs.size > 1:
+            _, first = np.unique(idxs, return_index=True)
+            idxs = idxs[np.sort(first)]
         cols: Dict[str, List[np.ndarray]] = {}
         released = 0
         for reg in self.classes.values():
@@ -590,15 +763,10 @@ class Engine:
                 )
                 if hasattr(comp, "active"):
                     cols.setdefault(f"{comp_path}.active", []).append(fresh)
-        if cols:
-            self.world = self._apply_columns(self.world, {
-                path: (
-                    np.concatenate(parts).astype(np.int32),
-                    np.zeros(sum(p.size for p in parts), np.float32),
-                )
-                for path, parts in cols.items()
-            })
-        return released
+        return released, {
+            path: np.concatenate(parts).astype(np.int32)
+            for path, parts in cols.items()
+        }
 
     def active_indices(self, class_name: str) -> np.ndarray:
         """Currently-claimed entity indices of a class (host pool view;
@@ -692,24 +860,37 @@ class Engine:
         churn rates (BASELINE config 2) that dominated the frame."""
         if not self._pending_ops:
             return
+        ops, self._pending_ops = self._pending_ops, []
+        self.world = self._apply_columns(self.world, self._ops_to_columns(ops))
+
+    def _despawn_updates(self, index: int) -> Dict[str, Any]:
+        """Per-component active-flag clears for one despawned index."""
+        reg = self._class_of_index(index)
+        updates = {"transform.active": False}
+        for comp_path in reg.component_paths:
+            comp = (
+                getattr(self.world, comp_path)
+                if hasattr(self.world, comp_path)
+                else self.world.custom[comp_path]
+            )
+            if hasattr(comp, "active"):
+                updates[f"{comp_path}.active"] = False
+        return updates
+
+    def _ops_to_columns(
+        self, ops: List[Tuple[str, Any, Any]]
+    ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+        """Pending-op list → packed scatter columns {path: (idx, vals)},
+        deduped to the LAST write per index (spawn→despawn of one slot in a
+        single flush; duplicate-index scatter order is undefined)."""
         by_path: Dict[str, Tuple[List[int], List[Any]]] = {}
-        for op, idx, updates in self._pending_ops:
+        for op, idx, updates in ops:
             if op == "despawn":
-                reg = self._class_of_index(idx)
-                updates = {"transform.active": False}
-                for comp_path in reg.component_paths:
-                    comp = (
-                        getattr(self.world, comp_path)
-                        if hasattr(self.world, comp_path)
-                        else self.world.custom[comp_path]
-                    )
-                    if hasattr(comp, "active"):
-                        updates[f"{comp_path}.active"] = False
+                updates = self._despawn_updates(idx)
             for path, value in updates.items():
                 idxs, vals = by_path.setdefault(path, ([], []))
                 idxs.append(idx)
                 vals.append(value)
-        self._pending_ops.clear()
 
         deduped: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         for path, (idxs, vals) in by_path.items():
@@ -717,14 +898,12 @@ class Engine:
             np_vals = np.asarray(vals)
             if np_vals.dtype == object:
                 np_vals = np_vals.astype(np.float64)
-            # keep only the LAST write per index (spawn→despawn of one slot
-            # in a single flush; duplicate-index scatter order is undefined)
             if len(np_idx) > 1:
                 _, last = np.unique(np_idx[::-1], return_index=True)
                 keep = np.sort(len(np_idx) - 1 - last)
                 np_idx, np_vals = np_idx[keep], np_vals[keep]
             deduped[path] = (np_idx, np_vals)
-        self.world = self._apply_columns(self.world, deduped)
+        return deduped
 
     def _apply_columns(self, world: World, columns) -> World:
         """Scatter {path: (indices, values)} into the world through ONE
@@ -822,10 +1001,13 @@ class Engine:
                     if p not in declared:
                         declared.append(p)
         if cfg.logic.collision_events:
-            # pair recording reads these from the payload (zero gathers)
-            for p in ("collider.radius", "collider.active"):
-                if p not in declared:
-                    declared.append(p)
+            # pair recording reads ONE packed channel from the payload
+            # (zero gathers): sentinel/sign-encoded (collider.active,
+            # hooked_j, radius_j) — see the events block in _build_step.
+            # Round 2 carried radius + active as two separate channels; the
+            # pack drops one [N, W] f32 channel from neighbor assembly.
+            if "__collision__" not in declared:
+                declared.append("__collision__")
         payload_channels = {"transform.x": 1, "transform.y": 2}
         extra_paths = [p for p in declared if p not in payload_channels]
         for k, p in enumerate(extra_paths):
@@ -924,6 +1106,27 @@ class Engine:
 
         payload_channels, extra_paths = self._payload_plan(cfg)
 
+        # Hook-scoped pair recording (cfg.logic.record_all_pairs docs): when
+        # any class registers a collision hook, only rows of HOOKED classes
+        # record pairs — a pair with one hooked side records from that side
+        # (even when its index is larger); a pair with two hooked sides
+        # records from the smaller index; unhooked-vs-unhooked pairs could
+        # never fire a hook and are skipped. The recording pass (top-k
+        # prefilter + compaction) then runs over the hooked classes' static
+        # index ranges instead of all N rows — at the predators operating
+        # point that is 9 rows instead of 15k.
+        self._events_sig_built = self._events_signature()
+        hooked_ranges = tuple(
+            (reg.start_index, reg.count)
+            for reg in self.classes.values()
+            if reg.count > 0 and self._class_has_hooks(reg.cls)
+        )
+        scope_hooked = (
+            cfg.logic.collision_events
+            and not cfg.logic.record_all_pairs
+            and bool(hooked_ranges)
+        )
+
         has_particles = cfg.particle.max_particles > 0
         decals_on = has_particles and cfg.particle.decals
         if decals_on:
@@ -951,7 +1154,27 @@ class Engine:
             world = write_inputs(world, inputs)
             t, c = world.transform, world.collider
             if need_neighbors:
-                extras = tuple(read_field(world, p) for p in extra_paths)
+                extras = []
+                for p in extra_paths:
+                    if p == "__collision__":
+                        # packed events channel: active collider → radius
+                        # (hooked class) or -radius-1 (unhooked, still
+                        # decodable); inactive → -3e38 sentinel. Hooked-ness
+                        # derives from static class ranges via iota compares
+                        # (constant-free, see the _build_step const notes).
+                        enc = c.radius
+                        if scope_hooked:
+                            gid = jnp.arange(n, dtype=jnp.int32)
+                            hooked_j = jnp.zeros((n,), jnp.bool_)
+                            for s_, c_ in hooked_ranges:
+                                hooked_j |= (gid >= s_) & (gid < s_ + c_)
+                            enc = jnp.where(hooked_j, enc, -enc - 1.0)
+                        extras.append(
+                            jnp.where(c.active, enc, jnp.float32(-3.0e38))
+                        )
+                    else:
+                        extras.append(read_field(world, p))
+                extras = tuple(extras)
                 nbr = neighbor_lists(
                     t.x, t.y, t.active, c.visual_range, cfg, extras
                 )
@@ -984,7 +1207,6 @@ class Engine:
             # reference's logic workers consume (logic_worker.js:429-443)
             if cfg.logic.collision_events:
                 from .ops.physics import record_collision_pairs
-                from .ops.spatial import NeighborPayload as _NP
 
                 # Collision pairs need d < r_i + r_j ≤ 2·r_max: when the
                 # scan radius exceeds 1 but 2·r_max ≤ cell_size, only the
@@ -993,8 +1215,8 @@ class Engine:
                 # top-k pair prefilter (top_k over the full predators scan
                 # width was the dominant events-on cost). Static slices in
                 # scan order keep the reference's truncation order.
-                nbr_ev = nbr
-                ids_ev, d2_ev, pay_ev = nbr.ids, nbr.d2, nbr.payload.data
+                ids_ev, d2_ev = nbr.ids, nbr.d2
+                ch = nbr.payload.data[..., payload_channels["__collision__"]]
                 scan_r = cfg.spatial.max_cell_radius
                 if (
                     scan_r > 1
@@ -1017,23 +1239,45 @@ class Engine:
                             axis=1,
                         )
 
-                    ids_ev, d2_ev, pay_ev = _sub(nbr.ids), _sub(nbr.d2), _sub(nbr.payload.data)
-                    nbr_ev = NeighborLists(
-                        ids=ids_ev, d2=d2_ev, count=nbr.count,
-                        n_binned=nbr.n_binned, payload=_NP(data=pay_ev),
-                    )
+                    ids_ev, d2_ev, ch = _sub(nbr.ids), _sub(nbr.d2), _sub(ch)
 
-                r_j = pay_ev[..., payload_channels["collider.radius"]]
-                coll_j = pay_ev[..., payload_channels["collider.active"]] > 0
+                coll_j = ch > jnp.float32(-1.0e30)  # collider active sentinel
                 t2, c2 = world.transform, world.collider
-                ok = (
-                    (t2.active & c2.active)[:, None]
-                    & (ids_ev >= 0)
-                    & coll_j
-                )
-                min_d = c2.radius[:, None] + r_j
-                rec = ok & (d2_ev < min_d * min_d)
-                world, pairs_dropped = record_collision_pairs(world, nbr_ev, rec, cfg)
+                self_ok = t2.active & c2.active
+                if scope_hooked:
+                    # slice the hooked classes' rows (static ranges) — the
+                    # recording pass scales with hooked entities, not N
+                    def _rows(a):
+                        return jnp.concatenate(
+                            [a[s_ : s_ + c_] for s_, c_ in hooked_ranges],
+                            axis=0,
+                        )
+
+                    g = jnp.concatenate([
+                        jnp.arange(s_, s_ + c_, dtype=jnp.int32)
+                        for s_, c_ in hooked_ranges
+                    ])
+                    ids_r, d2_r, ch_r = _rows(ids_ev), _rows(d2_ev), _rows(ch)
+                    hooked_j = ch_r >= 0
+                    r_j = jnp.where(hooked_j, ch_r, -ch_r - 1.0)
+                    ok = _rows(self_ok)[:, None] & (ids_r >= 0) & _rows(coll_j)
+                    min_d = _rows(c2.radius)[:, None] + r_j
+                    # record once: hooked-vs-hooked from the smaller index;
+                    # hooked-vs-unhooked always from the hooked side
+                    once = jnp.where(hooked_j, ids_r > g[:, None], True)
+                    rec = ok & (d2_r < min_d * min_d) & once
+                    world, pairs_dropped = record_collision_pairs(
+                        world, ids_r, rec, cfg, row_ids=g
+                    )
+                else:
+                    r_j = ch  # unpacked: channel is radius (or the sentinel)
+                    ok = self_ok[:, None] & (ids_ev >= 0) & coll_j
+                    min_d = c2.radius[:, None] + r_j
+                    i_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+                    rec = ok & (d2_ev < min_d * min_d) & (ids_ev > i_idx)
+                    world, pairs_dropped = record_collision_pairs(
+                        world, ids_ev, rec, cfg
+                    )
                 # Enter/Stay/Exit set-diff ON DEVICE (ops/events.py): the
                 # host reads three compact tables instead of pulling the
                 # whole pair list and diffing in numpy every frame
@@ -1147,6 +1391,7 @@ class Engine:
         self._step_fn = jax.jit(one_step_impl, donate_argnums=0)
         self._step_n_fn = jax.jit(n_steps, donate_argnums=0)
         self._event_chunk_fns = {}
+        self._plan_fns = {}
 
     @staticmethod
     def _zero_metrics(world: World) -> Dict[str, jnp.ndarray]:
@@ -1164,50 +1409,39 @@ class Engine:
             "nonfinite_count": z,
         }
 
-    def _event_chunk_fn(self):
-        """ONE compiled dynamic-length event-log chunk: steps ``n ≤
-        logic.event_chunk`` frames in a device loop, logging every frame's
-        Enter/Stay/Exit tables AND the participants' x/y/entity_type rows
-        (gathered in-program at that frame's post-step positions). The host
-        pulls one log per chunk — amortizing the device roundtrip that
-        per-frame dispatch pays (the axon tunnel costs ~30 ms per sync; 60
-        steps/s with events is unreachable without this).
+    def _event_log_spec(self):
+        """Event-LOG machinery shared by the chunked step programs (the
+        dynamic event chunk and the FramePlan chunk): per-frame
+        Enter/Stay/Exit tables + the participants' x/y/entity_type rows,
+        gathered in-program at that frame's post-step positions.
 
-        Why one dynamic-``n`` executable instead of one program per chunk
-        length, and why the coords ride the log: on the axon runtime the
-        event-log programs are fragile against re-execution (see the
-        aliasing bisect notes in _build_step's events block) — observed
-        failure modes included a second chunk executable wedging after the
-        first had run, and the inter-chunk jitted participant gather
-        preceding a failing re-execution. A single fori_loop program with a
-        traced bound plus in-program gathers leaves nothing else to execute
-        between chunks (and saves the multi-minute compile per distinct
-        chunk length). Per-frame participant coordinates are also MORE
-        faithful than the old chunk-end gather: hooks see the positions of
-        the frame their event fired in (logic_worker.js:429-443 reads
-        current SoA state when dispatching)."""
-        fn = self._event_chunk_fns.get("dyn")
-        if fn is not None:
-            return fn
-        one_step = self._one_step_raw
+        Returns (hooked3, caps, write_log, make_logs0, dropped_add):
+         - hooked3: which of (enter, stay, exit) has a registered hook —
+           a kind with no hook anywhere logs width-1 rows with the count
+           forced to 0 (no device writes, no tunnel transfer, no host loop);
+         - write_log(logs, w, f): append frame f's tables to the log pytree;
+         - make_logs0(zi, K): the [K, ...] log init derived from a traced
+           zero (trace-created constants feed jax 0.9's nondeterministic
+           constant-lifting path, see _build_step);
+         - dropped_add(w, prev): accumulate truncated (beyond-cap) rows."""
         cap = min(
             self.config.logic.max_events_per_frame,
             self.config.physics.max_collision_pairs,
         )
-        K = max(1, self.config.logic.event_chunk)
-        # hook-aware logging: a table kind with no registered hook anywhere
-        # logs zero-width rows — no device writes, no tunnel transfer, no
-        # host loop (the predators scene registers only on_collision_stay;
-        # logging all three tripled the per-chunk pull for nothing). Hooks
-        # are class attributes, so define them before the first step — the
-        # chunk program caches the hooked set.
-        hooked3 = tuple(
-            any(
-                getattr(reg.cls, h, None) is not None
+        if not self.config.logic.record_all_pairs:
+            # hook-scoped recording bounds pairs/frame by hooked rows × the
+            # per-row top-k cap — shrink the log (and its per-chunk tunnel
+            # transfer) to what recording can actually produce
+            from .ops.physics import PER_ENTITY
+
+            n_hooked = sum(
+                reg.count
                 for reg in self.classes.values()
+                if reg.count > 0 and self._class_has_hooks(reg.cls)
             )
-            for h in ("on_collision_enter", "on_collision_stay", "on_collision_exit")
-        )
+            if n_hooked:
+                cap = min(cap, n_hooked * PER_ENTITY)
+        hooked3 = self._hooked3()
         # width-1 placeholder (NOT zero-width: zero-sized buffers are elided
         # by the executable's calling convention and break the jax-level
         # buffer count) with the logged count forced to 0
@@ -1244,15 +1478,9 @@ class Engine:
                 ]
             return tuple(out)
 
-        one_step_impl = self._one_step_impl
-
-        def chunk(world: World, inputs: InputState, n: jnp.ndarray,
-                  frame_counts, decal_textures):
-            # log inits derive from a traced leaf (see _zero_metrics note):
-            # trace-created concrete constants must not appear here
-            zi = world.step_count * 0
+        def make_logs0(zi, K):
             zf = zi.astype(jnp.float32)
-            logs0 = tuple(
+            return tuple(
                 buf
                 for cap_t in caps
                 for buf in (
@@ -1262,16 +1490,73 @@ class Engine:
                 )
             )
 
+        def dropped_add(w, prev):
+            for cnt, cap_t, hooked in (
+                (w.event_enter_count, caps[0], hooked3[0]),
+                (w.event_stay_count, caps[1], hooked3[1]),
+                (w.event_exit_count, caps[2], hooked3[2]),
+            ):
+                if hooked:
+                    prev = prev + jnp.maximum(cnt - cap_t, 0)
+            return prev
+
+        return hooked3, caps, write_log, make_logs0, dropped_add
+
+    def _event_chunk_fn(self):
+        """ONE compiled dynamic-length event-log chunk: steps ``n ≤
+        logic.event_chunk`` frames in a device loop, logging every frame's
+        Enter/Stay/Exit tables AND the participants' x/y/entity_type rows
+        (gathered in-program at that frame's post-step positions). The host
+        pulls one log per chunk — amortizing the device roundtrip that
+        per-frame dispatch pays (the axon tunnel costs ~30 ms per sync; 60
+        steps/s with events is unreachable without this).
+
+        Why one dynamic-``n`` executable instead of one program per chunk
+        length, and why the coords ride the log: on the axon runtime the
+        event-log programs are fragile against re-execution (see the
+        aliasing bisect notes in _build_step's events block) — observed
+        failure modes included a second chunk executable wedging after the
+        first had run, and the inter-chunk jitted participant gather
+        preceding a failing re-execution. A single fori_loop program with a
+        traced bound plus in-program gathers leaves nothing else to execute
+        between chunks (and saves the multi-minute compile per distinct
+        chunk length). Per-frame participant coordinates are also MORE
+        faithful than the old chunk-end gather: hooks see the positions of
+        the frame their event fired in (logic_worker.js:429-443 reads
+        current SoA state when dispatching)."""
+        fn = self._event_chunk_fns.get("dyn")
+        if fn is not None:
+            return fn
+        K = max(1, self.config.logic.event_chunk)
+        hooked3, caps, write_log, make_logs0, dropped_add = self._event_log_spec()
+        self._event_chunk_fns["hooked"] = hooked3
+        one_step_impl = self._one_step_impl
+
+        def chunk(world: World, inputs: InputState, n: jnp.ndarray,
+                  frame_counts, decal_textures):
+            # log inits derive from a traced leaf (see _zero_metrics note):
+            # trace-created concrete constants must not appear here
+            zi = world.step_count * 0
+            logs0 = make_logs0(zi, K)
+
             def body(f, carry):
-                w, logs, _m = carry
+                w, logs, mprev = carry
                 w, m = one_step_impl(w, inputs, frame_counts, decal_textures)
+                # surface event-LOG truncation (rows past the per-frame cap
+                # never reach the host loop — unlike collision_pairs_dropped
+                # this loss was previously silent), accumulated over the chunk
+                m = dict(
+                    m,
+                    event_rows_dropped=dropped_add(w, mprev["event_rows_dropped"]),
+                )
                 return (w, write_log(logs, w, f), m)
 
             # traced lower bound: a literal 0 here becomes the last
             # trace-created constant in this program (see _zero_metrics note)
             return jax.lax.fori_loop(
                 world.step_count * 0, n, body,
-                (world, logs0, self._zero_metrics(world)),
+                (world, logs0,
+                 dict(self._zero_metrics(world), event_rows_dropped=zi)),
             )
 
         # NO donation: under the axon runtime, donating the world into this
@@ -1315,6 +1600,18 @@ class Engine:
         remaining = n
         metrics = self.metrics
         has_hooks = self._has_collision_hooks()
+        # a hook registered/removed AFTER the first chunk changes which
+        # tables must be logged: rebuild the chunk program instead of
+        # silently never firing the late hook (ADVICE r2)
+        if (
+            "dyn" in self._event_chunk_fns
+            and self._event_chunk_fns.get("hooked") != self._hooked3()
+        ):
+            self.timeline.log(
+                "collision hooks changed after first event chunk: "
+                "recompiling the event-log program"
+            )
+            self._event_chunk_fns = {}
         while remaining > 0:
             k = min(k_cfg, remaining)
             remaining -= k
@@ -1325,34 +1622,206 @@ class Engine:
                 self.world, inputs, jnp.int32(k), self._fc_np, self._tex_np
             )
             if has_hooks:
-                (
-                    enter, n_e, e_co, stay, n_s, s_co, exit_, n_x, x_co,
-                ) = (np.asarray(v) for v in jax.device_get(logs))
-                if int(n_e[:k].sum() + n_s[:k].sum() + n_x[:k].sum()):
-                    for f in range(k):
-                        ce, cs, cx = int(n_e[f]), int(n_s[f]), int(n_x[f])
-                        if not (ce or cs or cx):
-                            continue
-                        ctx = CollisionEventCtx.from_logged(
-                            self,
-                            [
-                                (enter[f, :ce], e_co[f, :ce]),
-                                (stay[f, :cs], s_co[f, :cs]),
-                                (exit_[f, :cx], x_co[f, :cx]),
-                            ],
-                        )
-                        self._fire_collision_tables(
-                            ctx, enter[f, :ce], stay[f, :cs], exit_[f, :cx],
-                        )
-                # hook control-plane effects land before the next chunk
-                self._flush_pending()
-                self._flush_emissions()
+                self._dispatch_logged_events(logs, k)
             if not fresh:
                 self.timer.record((time.time() - t0) / k, k)
             else:
                 self.timer.total_steps += k
         self.metrics = metrics
         return metrics
+
+    def _dispatch_logged_events(self, logs, k: int) -> None:
+        """Pull a chunk program's event log and fire the per-frame hooks
+        (the host half of the device event log, logic_worker.js:429-443)."""
+        (
+            enter, n_e, e_co, stay, n_s, s_co, exit_, n_x, x_co,
+        ) = (np.asarray(v) for v in jax.device_get(logs))
+        if int(n_e[:k].sum() + n_s[:k].sum() + n_x[:k].sum()):
+            for f in range(k):
+                ce, cs, cx = int(n_e[f]), int(n_s[f]), int(n_x[f])
+                if not (ce or cs or cx):
+                    continue
+                ctx = CollisionEventCtx.from_logged(
+                    self,
+                    [
+                        (enter[f, :ce], e_co[f, :ce]),
+                        (stay[f, :cs], s_co[f, :cs]),
+                        (exit_[f, :cx], x_co[f, :cx]),
+                    ],
+                )
+                self._fire_collision_tables(
+                    ctx, enter[f, :ce], stay[f, :cs], exit_[f, :cx],
+                )
+        # hook control-plane effects land before the next chunk
+        self._flush_pending()
+        self._flush_emissions()
+
+    # ------------------------------------------------------------------
+    # frame plans: the device-resident control plane (VERDICT r2 next #1)
+    # ------------------------------------------------------------------
+    def begin_plan(self) -> FramePlan:
+        """Start a :class:`FramePlan`: per-frame spawn/despawn + input
+        timelines executed in one device dispatch by :meth:`run_plan`."""
+        self._require_init()
+        return FramePlan(self)
+
+    def run_plan(self, plan: FramePlan, max_chunk: int = 32) -> Dict[str, Any]:
+        """Execute a frame plan: each frame applies its queued op scatters
+        and its captured input snapshot IN-PROGRAM, then steps — one device
+        dispatch per ``max_chunk`` frames (the axon tunnel kills very long
+        single executions, so plans chunk; 32 ≈ half a second of simulation
+        per dispatch). With collision events + hooks enabled the chunk also
+        carries the per-frame event log (the same machinery as chunked
+        stepping), so Enter/Stay/Exit hooks fire for every frame."""
+        self._require_init()
+        if plan._cur or plan._cur_ops:
+            plan.next_frame()  # close a trailing partial frame
+        if not plan.frames or self.paused:
+            return self.metrics
+        self._check_events_rebuild()
+        if self._step_fn is None:
+            self._build_step()  # also rebuilds stale _plan_fns
+        self._flush_pending()
+        self._flush_emissions()
+        if self.config.logic.screen_events:
+            # screen Enter/Exit needs a host visibility diff per frame:
+            # run the plan frame-at-a-time (correct, not dispatch-amortized)
+            return self._run_plan_per_frame(plan)
+        events_on = (
+            self.config.logic.collision_events and self._has_collision_hooks()
+        )
+        metrics = self.metrics
+        pos = 0
+        while pos < len(plan.frames):
+            chunk = plan.frames[pos : pos + max_chunk]
+            pos += len(chunk)
+            metrics = self._run_plan_chunk(chunk, events_on)
+        self.metrics = metrics
+        return metrics
+
+    def _run_plan_chunk(self, frames, events_on: bool) -> Dict[str, Any]:
+        n = self.world.n_entities
+        F = len(frames)
+        K = 1 << max(0, int(F - 1).bit_length())
+        names = tuple(sorted({p for cols, _ in frames for p in cols}))
+        buckets = []
+        for path in names:
+            m = max(
+                (cols[path][0].size for cols, _ in frames if path in cols),
+                default=0,
+            )
+            buckets.append(1 << max(0, int(m - 1).bit_length()))
+        offs = np.concatenate([[0], np.cumsum(buckets)]).astype(int).tolist()
+        tb = max(1, offs[-1])  # ≥1: zero-width args break the call convention
+        idx_all = np.full((K, tb), n, np.int32)
+        val_all = np.zeros((K, tb), np.float32)
+        for f, (cols, _) in enumerate(frames):
+            for k, path in enumerate(names):
+                if path in cols:
+                    i, v = cols[path]
+                    idx_all[f, offs[k] : offs[k] + i.size] = i
+                    val_all[f, offs[k] : offs[k] + v.size] = v
+        snaps = [s for _, s in frames]
+        snaps += [snaps[-1]] * (K - F)
+        inputs_tl = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *snaps
+        )
+
+        hooked3 = self._hooked3() if events_on else ()
+        key = (names, tuple(buckets), K, events_on, hooked3)
+        fn = self._plan_fns.get(key)
+        fresh = fn is None
+        if fresh:
+            fn = self._build_plan_chunk(key, names, offs, K, events_on)
+        t0 = time.time()
+        world, logs, metrics = fn(
+            self.world, idx_all, val_all, inputs_tl, jnp.int32(F),
+            self._fc_np, self._tex_np,
+        )
+        self.world = world
+        if events_on:
+            self._dispatch_logged_events(logs, F)
+        if not fresh:
+            self.timer.record((time.time() - t0) / F, F)
+        else:
+            self.timer.total_steps += F
+        return metrics
+
+    def _build_plan_chunk(self, key, names, offs, K: int, events_on: bool):
+        one_step_impl = self._one_step_impl
+        if events_on:
+            _h3, _caps, write_log, make_logs0, dropped_add = self._event_log_spec()
+        zero_metrics = self._zero_metrics
+
+        def plan_chunk(world, idx_all, val_all, inputs_tl, nn,
+                       frame_counts, decal_textures):
+            zi = world.step_count * 0
+            logs0 = make_logs0(zi, K) if events_on else (zi,)
+            m0 = zero_metrics(world)
+            if events_on:
+                m0 = dict(m0, event_rows_dropped=zi)
+
+            def body(f, carry):
+                w, logs, mprev = carry
+                idx_row = jax.lax.dynamic_index_in_dim(idx_all, f, 0, False)
+                val_row = jax.lax.dynamic_index_in_dim(val_all, f, 0, False)
+                for k, path in enumerate(names):
+                    arr = read_field(w, path)
+                    vals = val_row[offs[k] : offs[k + 1]].astype(arr.dtype)
+                    w = write_field(
+                        w, path,
+                        arr.at[idx_row[offs[k] : offs[k + 1]]].set(
+                            vals, mode="drop"
+                        ),
+                    )
+                inp = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(a, f, 0, False),
+                    inputs_tl,
+                )
+                w, m = one_step_impl(w, inp, frame_counts, decal_textures)
+                if events_on:
+                    m = dict(
+                        m,
+                        event_rows_dropped=dropped_add(
+                            w, mprev["event_rows_dropped"]
+                        ),
+                    )
+                    logs = write_log(logs, w, f)
+                return (w, logs, m)
+
+            return jax.lax.fori_loop(zi, nn, body, (world, logs0, m0))
+
+        # unique per-engine+key name: the cpp-pjit fastpath cache is keyed
+        # partly by function name (see _event_chunk_fn's notes) — two
+        # engines' identically-shaped plan programs must not collide
+        plan_chunk.__name__ = f"plan_chunk_{id(self):x}_{abs(hash(key)):x}"
+        plan_chunk.__qualname__ = plan_chunk.__name__
+        # donation only when the program carries no event log: donating into
+        # log-carrying programs hit the axon re-execution fault (see the
+        # _event_chunk_fn notes)
+        jfn = jax.jit(
+            plan_chunk, donate_argnums=(() if events_on else (0,))
+        )
+        self._plan_fns[key] = jfn
+        return jfn
+
+    def _run_plan_per_frame(self, plan: FramePlan) -> Dict[str, Any]:
+        """Frame-at-a-time plan execution (screen-events fallback and the
+        plan-vs-immediate parity oracle in tests)."""
+        for cols, snap in plan.frames:
+            if cols:
+                self.world = self._apply_columns(self.world, dict(cols))
+            self.world, self.metrics = self._step_fn(
+                self.world, snap, self._fc_np, self._tex_np
+            )
+            self.timer.total_steps += 1
+            if self.config.logic.collision_events:
+                self._dispatch_collision_events()
+            if self.config.logic.screen_events:
+                self._dispatch_screen_events()
+            self._flush_pending()
+            self._flush_emissions()
+        return self.metrics
 
     def raw_step_fn(self):
         """The unjitted (world, inputs) -> (world, metrics) step, for harnesses
@@ -1379,6 +1848,7 @@ class Engine:
         self._require_init()
         if self.paused or n <= 0:
             return self.metrics
+        self._check_events_rebuild()
         events_on = (
             self.config.logic.collision_events or self.config.logic.screen_events
         )
@@ -1549,11 +2019,52 @@ class Engine:
         self._fire_collision_tables(ctx, enters, stays, exits)
 
     def _has_collision_hooks(self) -> bool:
-        return any(
-            getattr(reg.cls, h, None) is not None
-            for reg in self.classes.values()
+        return any(self._hooked3())
+
+    def _hooked3(self) -> Tuple[bool, bool, bool]:
+        """Which of (enter, stay, exit) has a hook on any registered class."""
+        return tuple(
+            any(
+                getattr(reg.cls, h, None) is not None
+                for reg in self.classes.values()
+            )
             for h in ("on_collision_enter", "on_collision_stay", "on_collision_exit")
         )
+
+    @staticmethod
+    def _class_has_hooks(cls) -> bool:
+        return any(
+            getattr(cls, h, None) is not None
+            for h in ("on_collision_enter", "on_collision_stay", "on_collision_exit")
+        )
+
+    def _events_signature(self):
+        """Everything the compiled step derives from hook registration: the
+        hooked kinds (event-log widths) and the hooked classes (pair-
+        recording scope). Hook changes after the first build invalidate the
+        step programs (checked at step time when events are on)."""
+        return (
+            self._hooked3(),
+            tuple(
+                name
+                for name, reg in self.classes.items()
+                if reg.count > 0 and self._class_has_hooks(reg.cls)
+            ),
+        )
+
+    def _check_events_rebuild(self) -> None:
+        """Rebuild the step programs when hooks were (de)registered after
+        the first build (ADVICE r2: a late hook must fire, not be silently
+        ignored by the cached recording scope / log widths)."""
+        if (
+            self.config.logic.collision_events
+            and self._step_fn is not None
+            and self._events_sig_built != self._events_signature()
+        ):
+            self.timeline.log(
+                "collision hooks changed: rebuilding the step programs"
+            )
+            self._step_fn = None
 
     def _fire_collision_tables(self, ctx, enters, stays, exits) -> None:
         def fire(pairs: np.ndarray, hook_name: str) -> None:
@@ -1589,6 +2100,7 @@ class Engine:
         self._step_n_fn = None
         self._emission_fn = None
         self._event_chunk_fns = {}
+        self._plan_fns = {}
         self._initialized = False
         self._pending_ops.clear()
         self._prev_onscreen = None

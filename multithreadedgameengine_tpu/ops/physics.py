@@ -40,6 +40,11 @@ from ..config import EngineConfig
 from ..state import World
 from .spatial import NeighborLists
 
+#: per-row cap of the pair-recording top-k prefilter (record_collision_pairs)
+#: — also bounds how many pairs one entity can contribute per frame, which
+#: the engine uses to size the chunked event log under hook-scoped recording
+PER_ENTITY = 16
+
 
 def _pair_hash_dir(
     i: jnp.ndarray, j: jnp.ndarray, salt: jnp.ndarray
@@ -296,39 +301,49 @@ def update_derived(world: World, cfg: EngineConfig) -> World:
 
 
 def record_collision_pairs(
-    world: World, nbr: NeighborLists, overlap: jnp.ndarray, cfg: EngineConfig
+    world: World,
+    ids: jnp.ndarray,
+    rec: jnp.ndarray,
+    cfg: EngineConfig,
+    row_ids: "jnp.ndarray | None" = None,
 ) -> Tuple[World, jnp.ndarray]:
-    """Compact the overlap mask into the ``[max_pairs, 2]`` pair table
-    (collisionData SAB analog; pair-once ``i < j`` as in
-    physics_worker.js:444, :501-505, :554-559).
+    """Compact a recording mask into the ``[max_pairs, 2]`` pair table
+    (collisionData SAB analog, physics_worker.js:444, :501-505, :554-559).
 
-    Two-stage compaction: scattering the full [N, S] mask costs per-SOURCE
-    index on TPU (hundreds of ms at flocking scale), so each entity's pairs
+    ``ids``/``rec`` are [R, S] (neighbor ids / pairs to record); pair-once
+    dedup must ALREADY be applied by the caller (``ids > i`` for full
+    recording; the hooked-side rule for hook-scoped recording). ``row_ids``
+    maps rows to global entity indices when the rows are a subset of the
+    world (hook-scoped recording slices the hooked classes' ranges);
+    ``None`` means row r IS entity r.
+
+    Two-stage compaction: scattering the full [R, S] mask costs per-SOURCE
+    index on TPU (hundreds of ms at flocking scale), so each row's pairs
     are first squeezed to its top ``PER_ENTITY`` slots with top_k, and only
-    the [N × PER_ENTITY] survivor set feeds the global cumsum+scatter. More
-    than PER_ENTITY simultaneous new partners per entity drops the excess —
+    the [R × PER_ENTITY] survivor set feeds the global cumsum+scatter. More
+    than PER_ENTITY simultaneous new partners per row drops the excess —
     the reference drops pairs past maxCollisionPairs globally the same way.
 
     Returns (world, dropped): ``dropped`` counts pairs lost to EITHER the
-    per-entity top-k prefilter or the global max_pairs cap, surfaced as the
+    per-row top-k prefilter or the global max_pairs cap, surfaced as the
     ``collision_pairs_dropped`` step metric so silent Enter/Stay loss in
-    dense piles is observable (VERDICT weak #4)."""
-    PER_ENTITY = 16
-    n, s = nbr.ids.shape
+    dense piles is observable (VERDICT r1 weak #4)."""
+    r, s = ids.shape
     max_pairs = world.collision_pairs.shape[0]
-    i_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, s))
-    rec = overlap & (nbr.ids > i_idx)  # record each pair once
     total = jnp.sum(rec, dtype=jnp.int32)
 
     p = min(PER_ENTITY, s)
-    v, sel = jax.lax.top_k(rec.astype(jnp.int32), p)  # [N, p]
-    j_top = jnp.take_along_axis(nbr.ids, sel, axis=1)
+    v, sel = jax.lax.top_k(rec.astype(jnp.int32), p)  # [R, p]
+    j_top = jnp.take_along_axis(ids, sel, axis=1)
     rec_top = v > 0
 
+    i_rows = (
+        jnp.arange(r, dtype=jnp.int32)
+        if row_ids is None
+        else jnp.asarray(row_ids, jnp.int32)
+    )
     flat_rec = rec_top.reshape(-1)
-    flat_i = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, p)
-    ).reshape(-1)
+    flat_i = jnp.broadcast_to(i_rows[:, None], (r, p)).reshape(-1)
     flat_j = j_top.reshape(-1)
     rank = jnp.cumsum(flat_rec.astype(jnp.int32)) - 1
     dest = jnp.where(flat_rec & (rank < max_pairs), rank, max_pairs)

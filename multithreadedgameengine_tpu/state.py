@@ -199,9 +199,18 @@ class EntityPool:
         return True
 
     def release_many(self, indices) -> None:
-        """Bulk release in ascending order (despawnAll's per-index loop,
-        gameObject.js:1001-1034, vectorized). Skips already-free indices."""
-        rel = np.unique(np.asarray(indices, np.int64)) - self.start
+        """Bulk release preserving CALLER order (despawnAll's per-index loop,
+        gameObject.js:1001-1034, vectorized): pushing [a, b] here leaves the
+        LIFO stack identical to release(a); release(b), so batch despawns and
+        singles produce the same later spawn order. Skips already-free,
+        duplicate (first occurrence wins) and out-of-range indices — the
+        range check mirrors release()'s, since a below-start index would
+        otherwise wrap via fancy indexing and corrupt an unrelated slot."""
+        rel = np.asarray(indices, np.int64).reshape(-1) - self.start
+        rel = rel[(rel >= 0) & (rel < self.count)]
+        if rel.size > 1:
+            _, first = np.unique(rel, return_index=True)
+            rel = rel[np.sort(first)]
         fresh = rel[~self._free_mask[rel]]
         m = int(fresh.size)
         self._free_arr[self._free_top : self._free_top + m] = fresh + self.start

@@ -41,11 +41,18 @@ def slice_sheet(
     animations: Dict[str, List[str]] = {}
     for r in range(rows):
         name = row_names[r] if r < len(row_names) else f"row{r}"
+        # scan the WHOLE row, then trim only the trailing empty run —
+        # an interior gap frame must not truncate the rest of the animation
+        empty = [
+            img[r * fh:(r + 1) * fh, c * fw:(c + 1) * fw].shape[2] == 4
+            and not img[r * fh:(r + 1) * fh, c * fw:(c + 1) * fw][..., 3].any()
+            for c in range(cols)
+        ]
+        last = cols
+        while last > 1 and empty[last - 1]:
+            last -= 1
         frame_names = []
-        for c in range(cols):
-            cut = img[r * fh:(r + 1) * fh, c * fw:(c + 1) * fw]
-            if cut.shape[2] == 4 and not cut[..., 3].any() and c > 0:
-                break  # trailing empty frames end the row's animation
+        for c in range(last):
             fname = f"{name}_{c}"
             frames[fname] = {
                 "frame": {"x": c * fw, "y": r * fh, "w": fw, "h": fh}

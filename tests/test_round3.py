@@ -1,0 +1,463 @@
+"""Round-3 regression tests: the r2 advisor findings (spawn_batch partial
+exhaustion with array configs, despawn order parity, late hook registration,
+release_many range guard, sheet-slice gap frames) plus event-log truncation
+surfacing (VERDICT r2 next #8)."""
+
+import jax
+import numpy as np
+
+from multithreadedgameengine_tpu import Engine, EntityClass, Collider, RigidBody, make_config
+from multithreadedgameengine_tpu.models.balls import make_balls_engine
+from multithreadedgameengine_tpu.state import EntityPool
+
+
+def small_engine(n=50, **overrides):
+    over = dict(
+        world_width=1000.0, world_height=800.0,
+        spatial=dict(cell_size=50.0, max_neighbors=32),
+    )
+    over.update(overrides)
+    return make_balls_engine(n_balls=n, spawn=False, **over)
+
+
+class TestSpawnBatchExhaustion:
+    def test_batch_hook_partial_exhaustion_with_array_fields(self):
+        """ADVICE r2 (medium): the on_spawned_batch path must truncate
+        (count,)-shaped field arrays to the n claimed slots instead of
+        crashing in np.broadcast_to on partial pool exhaustion."""
+        eng = small_engine(n=4)
+        xs = np.arange(10, dtype=np.float32) * 7.0
+        idx = eng.spawn_batch("Ball", 10, x=xs, y=xs + 1.0)
+        assert idx.size == 4  # pool held only 4
+        eng._flush_pending()
+        got_x = np.asarray(jax.device_get(eng.world.transform.x))[idx]
+        # truncate-or-broadcast: first 4 of the supplied columns, in order
+        assert np.allclose(got_x, xs[:4])
+
+    def test_batch_hook_scalar_fields_broadcast(self):
+        eng = small_engine(n=3)
+        idx = eng.spawn_batch("Ball", 8, x=5.0, y=6.0)
+        assert idx.size == 3
+        eng._flush_pending()
+        assert np.allclose(
+            np.asarray(jax.device_get(eng.world.transform.x))[idx], 5.0
+        )
+
+
+class TestDespawnOrderParity:
+    def test_batch_matches_singles_in_nonascending_order(self):
+        """ADVICE r2: despawn_batch([b, a, c]) must leave the free stack —
+        and therefore every later spawn's slot choice — identical to
+        despawn(b); despawn(a); despawn(c)."""
+        order = [9, 3, 7, 1, 8]
+
+        def run(batch: bool):
+            eng = small_engine(n=20)
+            ids = [eng.spawn("Ball", x=float(i), y=1.0) for i in range(12)]
+            kill = [ids[k] for k in order]
+            if batch:
+                eng.despawn_batch(kill)
+            else:
+                for i in kill:
+                    eng.despawn(i)
+            re = eng.spawn_batch("Ball", 5, x=np.arange(5, dtype=np.float32))
+            return list(re), list(eng.classes["Ball"].pool.free)
+
+        assert run(True) == run(False)
+
+    def test_batch_dedupes_first_occurrence(self):
+        def run(batch: bool):
+            eng = small_engine(n=10)
+            ids = [eng.spawn("Ball", x=float(i), y=1.0) for i in range(6)]
+            seq = [ids[2], ids[4], ids[2], ids[0], ids[4]]
+            if batch:
+                assert eng.despawn_batch(seq) == 3
+            else:
+                for i in seq:
+                    eng.despawn(i)  # double-despawn guarded
+            return list(eng.classes["Ball"].pool.free)
+
+        assert run(True) == run(False)
+
+
+class TestReleaseManyRangeGuard:
+    def test_out_of_range_indices_dropped(self):
+        """ADVICE r2: a below-start index must not wrap through fancy
+        indexing and corrupt an unrelated slot's free mask."""
+        pool = EntityPool(start=100, count=16)
+        a = pool.claim()
+        b = pool.claim()
+        pool.release_many([a, 5, 99, 116, 1000, b])  # only a, b in range
+        assert pool.free_count == 16
+        assert pool.active_count == 0
+        # mask coherent: every slot free exactly once
+        free = sorted(pool.free.tolist())
+        assert free == list(range(100, 116))
+
+    def test_caller_order_preserved(self):
+        pool = EntityPool(start=0, count=8)
+        claimed = [pool.claim() for _ in range(4)]
+        pool.release_many(claimed[::-1])
+        # LIFO: next claims pop in reverse push order = original claim order
+        assert [pool.claim() for _ in range(4)] == claimed
+
+
+class _LateHook(EntityClass):
+    components = [Collider]
+    uses_neighbors = False
+    stays = 0
+
+    @classmethod
+    def setup(cls, ctx):
+        return {"collider.radius": 10.0, "rigid_body.static": True,
+                "collider.visual_range": 60.0}
+
+
+class TestLateHookRegistration:
+    def test_hook_registered_after_first_chunk_fires(self):
+        """ADVICE r2: the chunked event program caches which hook kinds are
+        logged; registering a hook after the first chunk must recompile the
+        log instead of silently never firing."""
+        _LateHook.stays = 0
+        if "on_collision_stay" in _LateHook.__dict__:
+            del _LateHook.on_collision_stay
+        eng = Engine(make_config(
+            world_width=500.0, world_height=500.0,
+            spatial=dict(cell_size=50.0, max_neighbors=8),
+            logic=dict(collision_events=True, event_chunk=4),
+        ))
+        eng.register_entity_class(_LateHook, 2)
+        eng.init()
+        eng.spawn("_LateHook", x=100.0, y=100.0)
+        eng.spawn("_LateHook", x=110.0, y=100.0)  # overlapping statics
+        eng.step(4)  # builds + runs the chunk with no hooks
+        assert _LateHook.stays == 0
+
+        def on_stay(ctx, me, other):
+            _LateHook.stays += 1
+
+        _LateHook.on_collision_stay = staticmethod(on_stay)
+        try:
+            eng.step(4)  # must detect the late hook and rebuild
+            assert _LateHook.stays == 8  # 4 frames x 2 sides
+        finally:
+            del _LateHook.on_collision_stay
+
+
+class _Piler(EntityClass):
+    components = [Collider]
+    uses_neighbors = False
+
+    @classmethod
+    def setup(cls, ctx):
+        return {"collider.radius": 10.0, "rigid_body.static": True,
+                "collider.visual_range": 60.0}
+
+    @staticmethod
+    def on_collision_stay(ctx, me, other):
+        pass
+
+
+class TestEventLogTruncationMetric:
+    def test_event_rows_dropped_surfaces_overflow(self):
+        """VERDICT r2 next #8: rows past logic.max_events_per_frame never
+        reach the host loop; the loss must appear in metrics."""
+        n = 8  # coincident pile: C(8,2)=28 stay pairs/frame, cap at 4
+        eng = Engine(make_config(
+            world_width=500.0, world_height=500.0,
+            spatial=dict(cell_size=50.0, max_neighbors=16),
+            logic=dict(collision_events=True, event_chunk=3,
+                       max_events_per_frame=4),
+        ))
+        eng.register_entity_class(_Piler, n)
+        eng.init()
+        for k in range(n):
+            eng.spawn("_Piler", x=100.0 + k * 2.0, y=100.0)
+        eng.step(6)
+        dropped = int(jax.device_get(eng.metrics["event_rows_dropped"]))
+        assert dropped > 0
+
+
+class TestSheetSliceGapFrames:
+    def test_interior_gap_does_not_truncate(self):
+        from multithreadedgameengine_tpu.tools.texture_packer import slice_sheet
+
+        img = np.zeros((8, 8 * 5, 4), np.uint8)
+        # frames 0, 1, 3 opaque; frame 2 an interior gap; frame 4 trailing-empty
+        for c in (0, 1, 3):
+            img[:, c * 8:(c + 1) * 8, 3] = 255
+        meta = slice_sheet(img, 8, 8, ["walk"])
+        assert meta["animations"]["walk"] == [
+            "walk_0", "walk_1", "walk_2", "walk_3"
+        ]  # trailing empty trimmed, interior gap kept
+
+
+# ---------------------------------------------------------------------------
+# FramePlan: the device-resident control plane (VERDICT r2 next #1)
+# ---------------------------------------------------------------------------
+
+def _churn_schedule(seed=7, frames=6, churn=5):
+    rng = np.random.default_rng(seed)
+    return [
+        (rng.integers(0, 1 << 30, size=churn), rng.uniform(100, 900, churn))
+        for _ in range(frames)
+    ]
+
+
+class TestFramePlan:
+    def _world_sig(self, eng):
+        eng.sync()
+        snap = eng.snapshot()
+        return (
+            np.asarray(snap.transform.x).copy(),
+            np.asarray(snap.transform.y).copy(),
+            np.asarray(snap.transform.active).copy(),
+            np.asarray(snap.rigid_body.px).copy(),
+            int(np.asarray(snap.step_count)),
+        )
+
+    def _run_churn(self, use_plan: bool, n=80, frames=6, churn=8):
+        eng = small_engine(n=n)
+        rng = np.random.default_rng(3)
+        eng.spawn_batch(
+            "Ball", 40,
+            x=rng.uniform(100, 900, 40).astype(np.float32),
+            y=rng.uniform(100, 700, 40).astype(np.float32),
+        )
+        eng.step(2, block=True)
+        sched = np.random.default_rng(11)
+        plan = eng.begin_plan() if use_plan else None
+        for f in range(frames):
+            active = eng.active_indices("Ball")
+            kill = sched.choice(active, size=churn, replace=False)
+            xs = sched.uniform(100, 900, churn).astype(np.float32)
+            ys = sched.uniform(100, 700, churn).astype(np.float32)
+            if use_plan:
+                plan.despawn_batch(kill)
+                plan.spawn_batch("Ball", churn, x=xs, y=ys)
+                plan.next_frame()
+            else:
+                eng.despawn_batch(kill)
+                eng.spawn_batch("Ball", churn, x=xs, y=ys)
+                eng.step(1)
+        if use_plan:
+            eng.run_plan(plan)
+        return self._world_sig(eng), list(eng.classes["Ball"].pool.free)
+
+    def test_plan_matches_immediate_churn(self):
+        """One plan dispatch must produce the bit-identical world AND pool
+        state as per-frame despawn_batch/spawn_batch/step."""
+        (sig_p, free_p) = self._run_churn(True)
+        (sig_i, free_i) = self._run_churn(False)
+        for a, b in zip(sig_p, sig_i):
+            np.testing.assert_array_equal(a, b)
+        assert free_p == free_i
+
+    def test_plan_singles_match_immediate(self):
+        def run(use_plan):
+            eng = small_engine(n=30)
+            ids = [eng.spawn("Ball", x=50.0 * (i + 1), y=100.0) for i in range(10)]
+            eng.step(1, block=True)
+            plan = eng.begin_plan() if use_plan else None
+            tgt = plan if use_plan else eng
+            for f in range(4):
+                tgt.despawn(ids[f])
+                ids.append(tgt.spawn("Ball", x=25.0 * (f + 1), y=50.0))
+                if use_plan:
+                    plan.next_frame()
+                else:
+                    eng.step(1)
+            if use_plan:
+                eng.run_plan(plan)
+            return self._world_sig(eng)
+
+        for a, b in zip(run(True), run(False)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_plan_per_frame_inputs(self):
+        """Input timeline fidelity: each planned frame must see the input
+        captured at ITS next_frame (the reference samples the input SAB every
+        frame, logic_worker.js:293)."""
+        def run(use_plan):
+            eng = small_engine(n=8)
+            eng.spawn("Ball", x=500.0, y=400.0)
+            eng.step(1, block=True)
+            moves = [(100.0, 100.0), (500.0, 405.0), (900.0, 900.0)]
+            plan = eng.begin_plan() if use_plan else None
+            for mx, my in moves:
+                eng.input.set_mouse(mx, my)
+                eng.input.mouse_button(0, True)
+                if use_plan:
+                    plan.next_frame()
+                else:
+                    eng.step(1)
+            if use_plan:
+                eng.run_plan(plan)
+            return self._world_sig(eng)
+
+        for a, b in zip(run(True), run(False)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_plan_chunking_splits_dispatches(self):
+        eng = small_engine(n=16)
+        eng.spawn("Ball", x=300.0, y=300.0)
+        eng.step(1, block=True)
+        plan = eng.begin_plan()
+        for _ in range(7):
+            plan.next_frame()
+        eng.run_plan(plan, max_chunk=3)  # 3 + 3 + 1
+        assert int(jax.device_get(eng.world.step_count)) == 8
+
+    def test_plan_with_collision_events(self):
+        """Planned frames must fire per-frame Enter/Stay hooks identically
+        to immediate stepping."""
+        from tests.test_round3 import _LateHook  # reuse the collider class
+
+        class _PlanHook(EntityClass):
+            components = [Collider]
+            uses_neighbors = False
+            log = []
+
+            @classmethod
+            def setup(cls, ctx):
+                return {"collider.radius": 10.0, "rigid_body.static": True,
+                        "collider.visual_range": 60.0}
+
+            @staticmethod
+            def on_collision_enter(ctx, me, other):
+                _PlanHook.log.append(("enter", me, other))
+
+            @staticmethod
+            def on_collision_stay(ctx, me, other):
+                _PlanHook.log.append(("stay", me, other))
+
+        def run(use_plan):
+            _PlanHook.log = []
+            eng = Engine(make_config(
+                world_width=500.0, world_height=500.0,
+                spatial=dict(cell_size=50.0, max_neighbors=8),
+                logic=dict(collision_events=True, event_chunk=4),
+            ))
+            eng.register_entity_class(_PlanHook, 4)
+            eng.init()
+            eng.spawn("_PlanHook", x=100.0, y=100.0)
+            eng.step(1, block=True)
+            plan = eng.begin_plan() if use_plan else None
+            tgt = plan if use_plan else eng
+            tgt.spawn("_PlanHook", x=110.0, y=100.0)  # overlap from frame 1
+            for _ in range(3):
+                if use_plan:
+                    plan.next_frame()
+                else:
+                    eng.step(1)
+            if use_plan:
+                eng.run_plan(plan)
+            return list(_PlanHook.log)
+
+        log_p = run(True)
+        log_i = run(False)
+        assert log_p == log_i
+        assert any(k == "enter" for k, *_ in log_p)
+        assert any(k == "stay" for k, *_ in log_p)
+
+
+# ---------------------------------------------------------------------------
+# Hook-scoped pair recording (VERDICT r2 next #4)
+# ---------------------------------------------------------------------------
+
+class _HookedBlob(EntityClass):
+    components = [Collider]
+    uses_neighbors = False
+    log = []
+
+    @classmethod
+    def setup(cls, ctx):
+        return {"collider.radius": 10.0, "rigid_body.static": True,
+                "collider.visual_range": 60.0}
+
+    @staticmethod
+    def on_collision_stay(ctx, me, other):
+        _HookedBlob.log.append((me, other))
+
+
+class _PlainBlob(EntityClass):
+    components = [Collider]
+    uses_neighbors = False
+
+    @classmethod
+    def setup(cls, ctx):
+        return {"collider.radius": 10.0, "rigid_body.static": True,
+                "collider.visual_range": 60.0}
+
+
+class TestHookScopedRecording:
+    def _engine(self, **logic_over):
+        logic = dict(collision_events=True)
+        logic.update(logic_over)
+        eng = Engine(make_config(
+            world_width=500.0, world_height=500.0,
+            spatial=dict(cell_size=50.0, max_neighbors=16),
+            logic=logic,
+        ))
+        eng.register_entity_class(_HookedBlob, 4)
+        eng.register_entity_class(_PlainBlob, 4)
+        eng.init()
+        return eng
+
+    def _pairs(self, eng):
+        w = eng.snapshot()
+        cnt = int(np.asarray(w.collision_pair_count))
+        return {tuple(p) for p in np.asarray(w.collision_pairs)[:cnt]}
+
+    def test_scoped_records_hooked_side_only(self):
+        _HookedBlob.log = []
+        eng = self._engine()
+        h = eng.spawn("_HookedBlob", x=100.0, y=100.0)
+        p1 = eng.spawn("_PlainBlob", x=110.0, y=100.0)
+        p2 = eng.spawn("_PlainBlob", x=110.0, y=115.0)  # overlaps p1 only
+        eng.step(2)
+        pairs = self._pairs(eng)
+        # hooked-vs-plain recorded FROM the hooked side (h > p? no: h < p
+        # here, but the rule is hooked-side row regardless of order)
+        assert (h, p1) in pairs
+        # plain-vs-plain pair is skipped under hook scoping
+        assert not any({a, b} == {p1, p2} for a, b in pairs)
+        # the hook itself fired for the hooked participant
+        assert any(me == h or other == h for me, other in _HookedBlob.log)
+
+    def test_scoped_records_from_hooked_row_even_when_larger(self):
+        _HookedBlob.log = []
+        eng = self._engine()
+        p1 = eng.spawn("_PlainBlob", x=110.0, y=100.0)
+        h = eng.spawn("_HookedBlob", x=100.0, y=100.0)
+        eng.step(2)
+        # h > p1 here if plain range precedes? ensure the pair exists in
+        # SOME orientation regardless of index order
+        pairs = self._pairs(eng)
+        assert any({a, b} == {h, p1} for a, b in pairs)
+        assert _HookedBlob.log  # stay fired
+
+    def test_record_all_pairs_restores_full_table(self):
+        eng = self._engine(record_all_pairs=True)
+        eng.spawn("_HookedBlob", x=300.0, y=300.0)  # far away
+        p1 = eng.spawn("_PlainBlob", x=110.0, y=100.0)
+        p2 = eng.spawn("_PlainBlob", x=110.0, y=115.0)
+        eng.step(2)
+        pairs = self._pairs(eng)
+        assert (min(p1, p2), max(p1, p2)) in pairs
+
+    def test_no_hooks_keeps_full_recording(self):
+        eng = Engine(make_config(
+            world_width=500.0, world_height=500.0,
+            spatial=dict(cell_size=50.0, max_neighbors=16),
+            logic=dict(collision_events=True),
+        ))
+        eng.register_entity_class(_PlainBlob, 4)
+        eng.init()
+        p1 = eng.spawn("_PlainBlob", x=110.0, y=100.0)
+        p2 = eng.spawn("_PlainBlob", x=110.0, y=115.0)
+        eng.step(2)
+        w = eng.snapshot()
+        cnt = int(np.asarray(w.collision_pair_count))
+        pairs = {tuple(p) for p in np.asarray(w.collision_pairs)[:cnt]}
+        assert (min(p1, p2), max(p1, p2)) in pairs
