@@ -1,0 +1,146 @@
+"""Halo-step scaling evidence at 1M entities on the virtual CPU mesh
+(VERDICT r2 next #3: back the v5e-8 projection with measurements).
+
+This host exposes ONE physical core, so wall-clock over 1..8 virtual devices
+measures nothing about parallel speedup — 8 virtual devices time-slice one
+core. What a 1-core host CAN measure honestly:
+
+ - **total-work overhead**: the halo-sharded program's wall time on D virtual
+   devices vs the single-chip program at the same scale approximates
+   (total work + routing/collectives) / (total work). On D real chips the
+   expected speedup is ≈ D / (1 + overhead), modulo ICI latency that a
+   virtual mesh cannot see.
+ - **communication volume**: bytes entering collectives per device per step
+   (all_to_all routing both ways for both phases, ppermute halo rows,
+   psums), reported analytically from the built geometry. The all_to_all
+   self-block (entities already on their home slab — the vast majority)
+   never crosses ICI on hardware, so the cross-chip bound reported here is
+   the boundary-traffic estimate, not the full buffer size.
+
+Writes HALO_SCALING.json. Each mesh size runs in its own subprocess (the
+virtual device count is process-global).
+
+Usage: python benchmarks/halo_scaling.py [n_entities] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import subprocess
+import sys
+import time
+
+DEFAULT_N = 1_000_000
+
+
+def run_one(n: int, n_dev: int) -> dict:
+    import os
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_dev}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from multithreadedgameengine_tpu.models.balls import make_balls_engine
+    from multithreadedgameengine_tpu.parallel import make_halo_step, make_mesh
+    from multithreadedgameengine_tpu.parallel.halo import entity_leaf_specs
+
+    n_total = (n // n_dev) * n_dev
+    scale = (n_total / 10_000) ** 0.5
+    eng = make_balls_engine(
+        n_balls=n_total - 1, seed=123456,
+        world_width=9000.0 * scale, world_height=4000.0 * scale,
+    )
+    eng._flush_pending()
+
+    steps = 2
+    if n_dev == 1:
+        # single-chip program at the same scale = the work-only baseline
+        eng.step(1, block=True)
+        t0 = time.time()
+        eng.step(steps)
+        eng.sync()
+        per = (time.time() - t0) / steps
+        return {"n_devices": 1, "ms_per_step": round(per * 1000, 1)}
+
+    mesh = make_mesh(n_dev, axis_name="slab")
+    step, place = make_halo_step(eng, mesh)
+    world = place(eng.world)
+    ins = eng.input.snapshot()
+    world, metrics = step(world, ins)  # warm (compile)
+    jax.device_get(world.step_count)
+    t0 = time.time()
+    for _ in range(steps):
+        world, metrics = step(world, ins)
+    jax.device_get(world.step_count)
+    per = (time.time() - t0) / steps
+
+    # analytic comms volume per device per step (buffer-entry bound)
+    n_loc = n_total // n_dev
+    lanes = len(entity_leaf_specs(eng.world)) + 1  # +gid lane
+    cap_route = min(max(((math.ceil(n_loc * 4.0 / n_dev) + 7) // 8) * 8, 8), n_loc)
+    a2a_bytes = 2 * 2 * n_dev * cap_route * max(lanes, 8) * 4  # A+B, out+back
+    cfg = eng.config
+    sp = cfg.spatial
+    cols_g = cfg.grid_cols
+    halo_rows_bytes = (
+        2 * sp.max_cell_radius * cols_g * sp.cell_capacity * 4 * 4
+    )  # spatial table halo rows, both directions, ~4 channels
+    return {
+        "n_devices": n_dev,
+        "ms_per_step": round(per * 1000, 1),
+        "route_overflow_logic": int(jax.device_get(metrics["route_overflow_logic"])),
+        "per_device_shard": n_loc,
+        "comms_alltoall_buffer_mb_per_dev_step": round(a2a_bytes / 2**20, 1),
+        "comms_halo_rows_mb_per_dev_step": round(halo_rows_bytes / 2**20, 2),
+    }
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_N
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "HALO_SCALING.json"
+    if len(sys.argv) > 3 and sys.argv[3] == "--one":
+        print("ONE_JSON " + json.dumps(run_one(n, int(sys.argv[4]))), flush=True)
+        return
+
+    results = []
+    for n_dev in (1, 2, 4, 8):
+        proc = subprocess.run(
+            [sys.executable, "-u", __file__, str(n), out_path, "--one", str(n_dev)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = next(
+            (ln for ln in proc.stdout.splitlines() if ln.startswith("ONE_JSON ")),
+            None,
+        )
+        if line is None:
+            tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+            r = {"n_devices": n_dev, "error": " | ".join(tail)}
+        else:
+            r = json.loads(line[len("ONE_JSON "):])
+        print(json.dumps(r), flush=True)
+        results.append(r)
+
+    base = next((r["ms_per_step"] for r in results
+                 if r.get("n_devices") == 1 and "ms_per_step" in r), None)
+    summary = {"n_entities": n, "host_cores": 1, "rungs": results}
+    if base:
+        for r in results:
+            if "ms_per_step" in r and r["n_devices"] > 1:
+                overhead = r["ms_per_step"] / base - 1.0
+                r["total_work_overhead"] = round(overhead, 3)
+                r["projected_speedup_on_real_chips"] = round(
+                    r["n_devices"] / (1.0 + max(overhead, 0.0)), 2
+                )
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -482,14 +482,33 @@ def run_logic_phase(
         tick_fn = tick.__func__ if isinstance(tick, (staticmethod, classmethod)) else tick
 
         idx = jnp.arange(start, start + count, dtype=jnp.int32)
-        ids = nbr.ids[start : start + count]
-        d2 = nbr.d2[start : start + count]
-        cnt = nbr.count[start : start + count]
-        has_payload = nbr.payload.data.shape[-1] > 0
-        payload = (
-            nbr.payload.data[start : start + count]
-            if has_payload else jnp.zeros((count, ids.shape[1], 0), jnp.float32)
-        )
+        if isinstance(nbr, dict):
+            # per-class pre-sliced lists (ops/spatial.neighbor_lists_by_class
+            # — each class's candidate width matches ITS scan radius);
+            # classes without lists tick against empty tables
+            nbr_c = nbr.get(klass.__name__)
+            if nbr_c is None:
+                ids = jnp.full((count, 1), -1, jnp.int32)
+                d2 = jnp.zeros((count, 1), jnp.float32)
+                cnt = jnp.zeros((count,), jnp.int32)
+                has_payload = False
+            else:
+                ids, d2, cnt = nbr_c.ids, nbr_c.d2, nbr_c.count
+                has_payload = nbr_c.payload.data.shape[-1] > 0
+            payload = (
+                nbr_c.payload.data
+                if has_payload
+                else jnp.zeros((count, ids.shape[1], 0), jnp.float32)
+            )
+        else:
+            ids = nbr.ids[start : start + count]
+            d2 = nbr.d2[start : start + count]
+            cnt = nbr.count[start : start + count]
+            has_payload = nbr.payload.data.shape[-1] > 0
+            payload = (
+                nbr.payload.data[start : start + count]
+                if has_payload else jnp.zeros((count, ids.shape[1], 0), jnp.float32)
+            )
 
         view = _entity_view(world, start, count)
 
@@ -558,11 +577,18 @@ def run_logic_phase_masked(
     active`` mask (cost × number of ticking classes — the price of
     order-free rows; typical scenes have 1-2 ticking classes).
 
-    Restrictions vs run_logic_phase (asserted by the halo-step builder):
+    Restriction vs run_logic_phase (asserted by the halo-step builder):
     ticks must read per-neighbor data via declared ``neighbor_fields``
     payload channels (``ctx.gather`` would index the LOCAL rows with GLOBAL
-    ids), and the ``"emit"`` key is not supported."""
+    ids).
+
+    Returns (world, emissions) like run_logic_phase. Single-device emission
+    order is class-registration order then entity index then slot; class
+    slot ranges ascend with registration order, so sorting gathered
+    requests by (global id, slot) reproduces it exactly — the halo step
+    relies on this after all_gathering per-slab requests."""
     writes: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+    emissions: List[Dict[str, Any]] = []
     despawn_mask_total = None
     n = world.transform.x.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -598,10 +624,10 @@ def run_logic_phase_masked(
                 despawn_mask_total = dm if despawn_mask_total is None else (despawn_mask_total | dm)
                 continue
             if path == "emit":
-                raise NotImplementedError(
-                    f"{klass.__name__}.tick: the 'emit' key is not supported "
-                    "under the halo-sharded step (single-chip path only)"
-                )
+                emissions.append(_normalize_emit_request(
+                    value, klass, 0, n, world, mask_cls
+                ))
+                continue
             arr = read_field(world, path)
             value = jnp.asarray(value, arr.dtype)
             mask, vals = writes.get(path, (None, None))
@@ -618,7 +644,7 @@ def run_logic_phase_masked(
 
     if despawn_mask_total is not None:
         world = apply_despawn_mask(world, despawn_mask_total)
-    return world
+    return world, emissions
 
 
 def apply_despawn_mask(world: World, mask: jnp.ndarray) -> World:

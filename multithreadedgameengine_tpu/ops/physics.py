@@ -328,8 +328,23 @@ def record_collision_pairs(
     per-row top-k prefilter or the global max_pairs cap, surfaced as the
     ``collision_pairs_dropped`` step metric so silent Enter/Stay loss in
     dense piles is observable (VERDICT r1 weak #4)."""
-    r, s = ids.shape
     max_pairs = world.collision_pairs.shape[0]
+    pairs, count, dropped = compact_pairs(ids, rec, max_pairs, row_ids)
+    world = world.replace(collision_pairs=pairs, collision_pair_count=count)
+    return world, dropped
+
+
+def compact_pairs(
+    ids: jnp.ndarray,
+    rec: jnp.ndarray,
+    max_pairs: int,
+    row_ids: "jnp.ndarray | None" = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The compaction core of :func:`record_collision_pairs` (also used by
+    the halo step for per-slab recording): top-``PER_ENTITY`` prefilter per
+    row, then cumsum-rank scatter into a dense [max_pairs, 2] table (-1
+    padded). Returns (pairs, count, dropped)."""
+    r, s = ids.shape
     total = jnp.sum(rec, dtype=jnp.int32)
 
     p = min(PER_ENTITY, s)
@@ -351,8 +366,7 @@ def record_collision_pairs(
     pairs = pairs.at[dest, 0].set(flat_i, mode="drop")
     pairs = pairs.at[dest, 1].set(flat_j, mode="drop")
     count = jnp.minimum(jnp.sum(flat_rec, dtype=jnp.int32), max_pairs)
-    world = world.replace(collision_pairs=pairs, collision_pair_count=count)
-    return world, total - count
+    return pairs, count, total - count
 
 
 def physics_step(

@@ -43,10 +43,23 @@ oversub)`` row slots. Entities beyond it stay home for the frame and degrade
 to boundary-only physics / tick-less logic — the same "capacity overflow"
 class as cell-capacity drops, surfaced in the metrics (route_overflow_*).
 
-Unsupported under this step (the engine's single-chip fused step covers
-them): collision-event pair recording, shadow sprites, device-side "emit"
-(raises at trace), and ``ctx.gather`` of undeclared neighbor fields (global
-ids cannot index local rows — declare fields in ``neighbor_fields``).
+The full mixed-scene feature set runs under this step (BASELINE config 5):
+ - collision events: per-slab hook-scoped pair recording with GLOBAL ids →
+   all_gather + rank-compaction into the replicated pair table → the same
+   device-side Enter/Stay/Exit diff as the single-chip step, identical
+   tables (diff output is (a, b)-sorted);
+ - device-side "emit": per-slab requests sort-merged across the mesh into
+   the single-device emission order (gid, slot) and applied to the
+   replicated particle pool; particle physics runs replicated;
+ - shadow sprites: global first-L light selection by entity-index order,
+   per-slab sprite math from the lights' local neighbor lists + caster
+   payload channels, psum-composed output buffer (frame-start caster
+   state — a documented one-frame staleness the reference's free-running
+   particle worker shares).
+
+Still unsupported here: decal stamping (the tile canvas would replicate
+per device) and ``ctx.gather`` of undeclared neighbor fields (global ids
+cannot index local rows — declare fields in ``neighbor_fields``).
 """
 
 from __future__ import annotations
@@ -206,6 +219,148 @@ def _edge_perms(n_dev: int):
     return down, up
 
 
+_I32_MAX = np.int32(2**31 - 1)
+
+
+def _merge_emissions(requests, gids, budget: int, axis: str):
+    """Merge per-slab device-emit request blocks into the replicated global
+    emission batch, reproducing the single-device order exactly: requests
+    sort by (emitter global id, slot) — class slot ranges ascend with
+    registration order, so this equals run_logic_phase's class-then-row-
+    then-slot order (see run_logic_phase_masked docs). Each slab pre-sorts
+    and truncates to ``budget`` (what the pool could accept at most), then
+    the gathered [D·budget] set sorts and truncates again — drops match the
+    single-device budget truncation. Returns (batch, total) for
+    ops/particles.apply_emission, or (None, None) with no requests."""
+    if not requests or budget <= 0:
+        return None, None
+    stride = max(r["valid"].shape[1] for r in requests)
+    keys, valids = [], []
+    fields = {k: [] for k in requests[0]["fields"]}
+    for r in requests:
+        capk = r["valid"].shape[1]
+        slot = jnp.arange(capk, dtype=jnp.int32)[None, :]
+        keys.append((gids[:, None] * jnp.int32(stride) + slot).reshape(-1))
+        valids.append(r["valid"].reshape(-1))
+        for k in fields:
+            fields[k].append(r["fields"][k].reshape(-1))
+    key = jnp.concatenate(keys)
+    valid = jnp.concatenate(valids)
+    big = jnp.where(valid, key, _I32_MAX)
+    if big.shape[0] < budget:
+        pad = budget - big.shape[0]
+        big = jnp.concatenate([big, jnp.broadcast_to(key[:1] * 0 + _I32_MAX, (pad,))])
+        fields = {
+            k: [jnp.concatenate(v + [jnp.zeros((pad,), v[0].dtype)])]
+            for k, v in fields.items()
+        }
+    else:
+        fields = {k: [jnp.concatenate(v)] for k, v in fields.items()}
+    ordl = jnp.argsort(big)[:budget]
+    keyl = big[ordl]
+    fieldsl = {k: v[0][ordl] for k, v in fields.items()}
+
+    allk = jax.lax.all_gather(keyl, axis).reshape(-1)
+    ordg = jnp.argsort(allk)[:budget]
+    batch = {
+        k: jax.lax.all_gather(v, axis).reshape(-1)[ordg]
+        for k, v in fieldsl.items()
+    }
+    total = jnp.minimum(
+        jnp.sum(allk < _I32_MAX, dtype=jnp.int32), jnp.int32(budget)
+    )
+    return batch, total
+
+
+def _slab_shadow_sprites(
+    local, nbr, flat, res_gid, valid_ent, payload_channels, cfg, axis
+):
+    """This slab's shadow-sprite contributions (ops/lighting.shadow_sprites
+    mapped to routed resident rows; particle_worker.js:861-1004): the global
+    first-L light selection (entity-index order) is agreed via a tiny
+    all_gather of candidate light ids, each selected light's sprites are
+    computed on the slab that owns its row — its neighbor list and the
+    casters' payload channels live there — and the per-slab [L·M] buffers
+    psum into the full output (disjoint light slots). Caster state comes
+    from the frame-start payload snapshot (documented deviation: the
+    single-chip step reads current-frame caster state; the reference's
+    free-running particle worker reads stale state like this path does).
+    Returns {field: [L·M]} with zeros outside this slab's lights."""
+    lc = cfg.lighting
+    L, M = lc.max_shadow_casting_lights, lc.max_shadows_per_light
+    t, li = local.transform, local.light
+    sp_l = local.sprite
+
+    light_ok = (
+        li.active & t.active & sp_l.is_on_screen
+        & (li.light_intensity > 0) & valid_ent
+    )
+    key = jnp.where(light_ok, res_gid, _I32_MAX)
+    m = key.shape[0]
+    loc_sorted = jax.lax.sort(key)[: min(L, m)]
+    if loc_sorted.shape[0] < L:
+        loc_sorted = jnp.concatenate([
+            loc_sorted,
+            jnp.broadcast_to(key[:1] * 0 + _I32_MAX, (L - loc_sorted.shape[0],)),
+        ])
+    sel = jax.lax.sort(jax.lax.all_gather(loc_sorted, axis).reshape(-1))[:L]
+    sel_valid = sel < _I32_MAX
+
+    eqm = (res_gid[None, :] == sel[:, None]) & light_ok[None, :]  # [L, m]
+    has = jnp.any(eqm, axis=1) & sel_valid
+    lrow = jnp.argmax(eqm, axis=1)
+
+    ids_l = nbr.ids[lrow]  # [L, S]
+    d2_l = nbr.d2[lrow]
+    flat_l = flat[lrow]  # [L, S, F]
+    lx = t.x[lrow][:, None]
+    ly = t.y[lrow][:, None]
+    l_int = li.light_intensity[lrow][:, None]
+
+    ch_sh = flat_l[..., payload_channels["__shadow__"]]
+    c_h_raw = flat_l[..., payload_channels["shadow.height"]]
+    dist = jnp.sqrt(d2_l)
+    caster_ok = has[:, None] & (ids_l >= 0) & (ch_sh >= 0) & (dist >= 1.0)
+    rank = jnp.cumsum(caster_ok.astype(jnp.int32), axis=1)
+    keep = caster_ok & (rank <= M)
+
+    cx = flat_l[..., 1]
+    cy = flat_l[..., 2]
+    c_rad = jnp.where(ch_sh > 0, ch_sh, 10.0)  # || 10 (particle_worker :945)
+    c_h = jnp.where(c_h_raw > 0, c_h_raw, c_rad)  # || radius (:946)
+    dx = cx - lx
+    dy = cy - ly
+    inv_dist = 1.0 / jnp.maximum(dist, 1e-6)
+    dir_x = dx * inv_dist
+    dir_y = dy * inv_dist
+    pos_x = cx - dir_x * c_rad
+    pos_y = cy - dir_y * c_rad
+    dist_ratio = jnp.minimum(dist * (1.0 / 256.0), 1.0)
+    height_factor = c_h * 0.025
+    length_scale = (0.3 + dist_ratio * 0.9) * height_factor
+    width_scale = c_rad * 0.0714
+    alpha = l_int / jnp.maximum(d2_l * 2.0, 1e-6)
+    rotation = jnp.arctan2(dy, dx) - jnp.float32(jnp.pi / 2)
+
+    ord2 = jnp.argsort(~keep, axis=1, stable=True)[:, :M]
+    c2 = ord2.shape[1]
+    kept_g = jnp.take_along_axis(keep, ord2, axis=1)
+    kept_g = jnp.pad(kept_g, ((0, 0), (0, M - c2)))
+
+    def gather(a):
+        g = jnp.take_along_axis(a, ord2, axis=1)
+        g = jnp.pad(g, ((0, 0), (0, M - c2)))
+        # zero non-owned slots so the cross-slab psum composes exactly
+        return jnp.where(kept_g, g, 0.0).reshape(-1)
+
+    return {
+        "active": kept_g.reshape(-1),
+        "x": gather(pos_x), "y": gather(pos_y), "rotation": gather(rotation),
+        "scale_x": gather(width_scale), "scale_y": gather(length_scale),
+        "alpha": gather(alpha), "radius": gather(c_rad),
+    }
+
+
 # ---------------------------------------------------------------------------
 # the halo step builder
 # ---------------------------------------------------------------------------
@@ -246,30 +401,64 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0):
     cfg = engine._resolve_spatial()
     if cfg.spatial.method != "grid":
         raise ValueError("halo step requires spatial.method='grid'")
-    if cfg.logic.collision_events:
-        raise ValueError(
-            "collision-event recording is not supported under the halo step "
-            "(single-chip fused step covers it)"
-        )
-    if cfg.lighting.enabled and cfg.lighting.shadows_enabled:
-        raise ValueError("shadow sprites are not supported under the halo step")
     if cfg.physics.solver == "neighbors":
         raise ValueError("halo step requires the grid constraint solver")
+    if cfg.particle.max_particles > 0 and cfg.particle.decals:
+        raise ValueError(
+            "decal stamping is not supported under the halo step (the tile "
+            "canvas would replicate per device; single-chip covers decals)"
+        )
+
+    # collision events (engine one_step events block, mapped to slabs): each
+    # slab records its residents' pairs with GLOBAL ids; the per-slab tables
+    # all_gather + rank-compact into the replicated world pair table, and the
+    # Enter/Stay/Exit diff runs identically on every device. Pair-recording
+    # scope matches the engine (hook-scoped unless record_all_pairs).
+    ev_on = cfg.logic.collision_events
+    hooked_types = tuple(
+        reg.entity_type
+        for reg in engine.classes.values()
+        if reg.count > 0 and engine._class_has_hooks(reg.cls)
+    )
+    ev_scope_hooked = (
+        ev_on and not cfg.logic.record_all_pairs and bool(hooked_types)
+    )
+    max_pairs = cfg.physics.max_collision_pairs
+    # per-slab pair-table slots: what one slab could record at most
+    p_loc = max_pairs
+
+    has_particles = cfg.particle.max_particles > 0
+    emit_budget = cfg.particle.max_emit_per_step if has_particles else 0
+
+    shadows_on = cfg.lighting.enabled and cfg.lighting.shadows_enabled
     cfg, solver_geom, forced = engine._solver_plan(cfg)
     if solver_geom is None or forced:
         raise ValueError("halo step could not derive a solver geometry (no radii)")
 
     payload_channels, extra_paths = engine._payload_plan(cfg)
+    if shadows_on:
+        # caster data for the shadow pass rides the candidate table: one
+        # packed validity/radius channel + the caster height
+        payload_channels = dict(payload_channels)
+        extra_paths = list(extra_paths)
+        for p in ("__shadow__", "shadow.height"):
+            if p not in payload_channels:
+                payload_channels[p] = 3 + len(extra_paths)
+                extra_paths.append(p)
     type_specs = tuple(
         (reg.cls, reg.entity_type)
         for reg in engine.classes.values()
         if reg.count > 0 and getattr(reg.cls, "tick", None) is not None
     )
-    need_neighbors = any(
-        reg.count > 0
-        and getattr(reg.cls, "tick", None) is not None
-        and reg.cls.uses_neighbors
-        for reg in engine.classes.values()
+    need_neighbors = (
+        ev_on
+        or shadows_on  # lights walk their neighbor lists
+        or any(
+            reg.count > 0
+            and getattr(reg.cls, "tick", None) is not None
+            and reg.cls.uses_neighbors
+            for reg in engine.classes.values()
+        )
     )
     frame_counts = engine._frame_counts()
     specs = entity_leaf_specs(world0)
@@ -332,11 +521,35 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0):
         res_fin = jnp.isfinite(lt.x) & jnp.isfinite(lt.y)
         valid_ent = lt.active & res_fin
 
+        def hooked_mask(types):
+            m = jnp.zeros_like(lt.active)
+            for et in types:
+                m |= lt.entity_type == jnp.int32(et)
+            return m
+
         # local table: GLOBAL truncation, then slab offset (bit-exact binning)
         grow_r = jnp.clip((lt.y * inv_sp).astype(jnp.int32), 0, rows_g - 1)
         gcol_r = jnp.clip((lt.x * inv_sp).astype(jnp.int32), 0, cols_g - 1)
         loc_row = jnp.clip(grow_r - d * rpd_sp + hw, 0, rows_loc - 1)
-        extras = [jnp.asarray(read_field(local, p), f32) for p in extra_paths]
+        extras = []
+        for p in extra_paths:
+            if p == "__collision__":
+                # packed events channel — same encoding as the engine's
+                # single-chip step (see engine._build_step)
+                c_ = local.collider
+                enc = c_.radius
+                if ev_scope_hooked:
+                    enc = jnp.where(hooked_mask(hooked_types), enc, -enc - 1.0)
+                extras.append(jnp.where(c_.active, enc, jnp.float32(-3.0e38)))
+            elif p == "__shadow__":
+                # packed caster channel: valid shadow caster -> radius, else -1
+                sh_, sp_l = local.shadow, local.sprite
+                ok_c = sh_.active & sp_l.is_on_screen
+                extras.append(
+                    jnp.where(ok_c, sh_.shadow_radius, jnp.float32(-1.0))
+                )
+            else:
+                extras.append(jnp.asarray(read_field(local, p), f32))
         rows_vals = jnp.stack(
             [res_gid.astype(f32), lt.x, lt.y] + extras, axis=1
         )
@@ -394,15 +607,56 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0):
             payload=NeighborPayload(data=flat),
         )
 
-        local = run_logic_phase_masked(
+        local, emissions = run_logic_phase_masked(
             local, nbr, inputs, cfg, type_specs, payload_channels
         )
+
+        # collision-pair recording on the slab's residents (the engine's
+        # events block mapped to routed rows): post-tick flags, frame-start
+        # positions/d² — identical acceptance to the single-chip step; pairs
+        # carry GLOBAL ids so the cross-slab merge + diff is exact.
+        ev = None
+        if ev_on:
+            from ..ops.physics import compact_pairs
+
+            lt2, lc2 = local.transform, local.collider
+            ch = flat[..., payload_channels["__collision__"]]
+            coll_j = ch > jnp.float32(-1.0e30)
+            self_ok = lt2.active & lc2.active & res_fin
+            if ev_scope_hooked:
+                hooked_j = ch >= 0
+                r_j = jnp.where(hooked_j, ch, -ch - 1.0)
+                ok = (
+                    (self_ok & hooked_mask(hooked_types))[:, None]
+                    & (ids >= 0) & coll_j
+                )
+                once = jnp.where(hooked_j, ids > res_gid[:, None], True)
+            else:
+                r_j = ch
+                ok = self_ok[:, None] & (ids >= 0) & coll_j
+                once = ids > res_gid[:, None]
+            min_d = lc2.radius[:, None] + r_j
+            rec = ok & (d2_out < min_d * min_d) & once
+            ev = compact_pairs(ids, rec, p_loc, row_ids=res_gid)
+
+        # shadow sprites for resident lights (particle_worker.js:861-1004):
+        # global first-L light selection by gid order, casters from the
+        # payload channels. Documented deviation vs the single-chip step:
+        # caster positions/visibility are FRAME-START state (the payload
+        # snapshot) — the reference's own particle worker reads equally
+        # stale state from its free-running pipeline.
+        sh_out = None
+        if shadows_on:
+            sh_out = _slab_shadow_sprites(
+                local, nbr, flat, res_gid, valid_ent, payload_channels,
+                cfg, axis,
+            )
 
         out_rows = pack_world_rows(local, specs)
         got, got_ok = route_back(out_rows, sent_slot, n_dev, cap_a, axis)
         merged = jnp.where(got_ok[:, None], got, rows[:, :n_lanes])
         chunk = unpack_world_rows(merged, chunk, specs)
-        return chunk, bins.n_binned, ovf
+        return chunk, bins.n_binned, ovf, ev, (emissions, res_gid), sh_out
 
     # ------------------------------------------------------------------
     # phase A': tick without neighbor tables (classes with
@@ -417,10 +671,11 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0):
             n_binned=jnp.int32(-1),
             payload=NeighborPayload(data=jnp.zeros((m, 1, 0), f32)),
         )
-        chunk = run_logic_phase_masked(
+        chunk, emissions = run_logic_phase_masked(
             chunk, empty, inputs, cfg, type_specs, payload_channels
         )
-        return chunk, jnp.int32(-1), jnp.int32(0)
+        gid = d * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+        return chunk, jnp.int32(-1), jnp.int32(0), None, (emissions, gid), None
 
     # ------------------------------------------------------------------
     # phase B: solver grid with per-substep halo refresh
@@ -526,25 +781,131 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0):
     def local_step(chunk: World, inputs):
         d = jax.lax.axis_index(axis).astype(jnp.int32)
         if need_neighbors:
-            chunk, n_binned, ovf_a = phase_a(chunk, inputs, d)
+            chunk, n_binned, ovf_a, ev, em, sh_out = phase_a(chunk, inputs, d)
             n_binned = jax.lax.psum(n_binned, axis)
         else:
-            chunk, n_binned, ovf_a = phase_a_local(chunk, inputs, d)
+            chunk, n_binned, ovf_a, ev, em, sh_out = phase_a_local(
+                chunk, inputs, d
+            )
+
+        # merge per-slab pair tables into the replicated global table and
+        # diff on every device (identical inputs → identical outputs keeps
+        # the event leaves replicated). Same diff + barrier-swap as the
+        # single-chip step (see engine._build_step's events block).
+        pairs_dropped = jnp.int32(0)
+        pair_count = jnp.int32(0)
+        if ev_on:
+            pairs_loc, count_loc, dropped_loc = ev
+            allp = jax.lax.all_gather(pairs_loc, axis).reshape(-1, 2)
+            allc = jax.lax.all_gather(count_loc, axis)  # [D]
+            ar = jnp.arange(p_loc, dtype=jnp.int32)
+            validp = (ar[None, :] < allc[:, None]).reshape(-1)
+            rank = jnp.cumsum(validp.astype(jnp.int32)) - 1
+            dest = jnp.where(validp & (rank < max_pairs), rank, max_pairs)
+            pairs = jnp.full((max_pairs, 2), -1, jnp.int32)
+            pairs = pairs.at[dest, 0].set(allp[:, 0], mode="drop")
+            pairs = pairs.at[dest, 1].set(allp[:, 1], mode="drop")
+            total_p = jnp.sum(validp, dtype=jnp.int32)
+            pair_count = jnp.minimum(total_p, max_pairs)
+            pairs_dropped = jax.lax.psum(dropped_loc, axis) + (total_p - pair_count)
+            chunk = chunk.replace(
+                collision_pairs=pairs, collision_pair_count=pair_count
+            )
+            from ..ops.events import diff_pairs
+
+            enter, n_e, stay, n_s, exit_, n_x = diff_pairs(
+                chunk.collision_pairs, chunk.collision_pair_count,
+                chunk.prev_collision_pairs, chunk.prev_collision_pair_count,
+            )
+            new_prev = jax.lax.optimization_barrier(
+                (chunk.collision_pairs, chunk.collision_pair_count)
+            )
+            # pmax re-marks these as replicated for shard_map's replication
+            # checker: they ARE device-identical (computed from all_gathered
+            # inputs), but the checker cannot infer that through the
+            # scatter/sort/barrier ops — pmax is the identity here and makes
+            # the replication provable (tables are small: [max_pairs, 2])
+            rep = lambda v: jax.lax.pmax(v, axis)
+            pair_count = rep(pair_count)
+            pairs_dropped = rep(pairs_dropped)
+            chunk = chunk.replace(
+                collision_pairs=rep(chunk.collision_pairs),
+                collision_pair_count=pair_count,
+                prev_collision_pairs=rep(new_prev[0]),
+                prev_collision_pair_count=rep(new_prev[1]),
+                event_enter=rep(enter), event_enter_count=rep(n_e),
+                event_stay=rep(stay), event_stay_count=rep(n_s),
+                event_exit=rep(exit_), event_exit_count=rep(n_x),
+            )
+
         chunk = advance_animation(chunk, frame_counts, cfg.dt_ratio)
         chunk = verlet_move(chunk, cfg, cfg.dt_ratio)
         chunk, solver_binned, ovf_b = phase_b(chunk, d)
         chunk = update_derived(chunk, cfg)
+
+        # particle pool: replicated leaf — every device applies the identical
+        # update + gathered emission batch (single-chip phase order: move,
+        # then claim this frame's tick emissions)
+        p_active = jnp.int32(-1)
+        if has_particles:
+            from ..ops.culling import update_particle_visibility
+            from ..ops.particles import apply_emission, update_particles
+
+            pool, _stamps, p_active = update_particles(
+                chunk.particles, cfg, cfg.dt_ratio, False
+            )
+            chunk = chunk.replace(particles=pool)
+            requests, gids = em
+            batch, total_e = _merge_emissions(requests, gids, emit_budget, axis)
+            if batch is not None:
+                pool, spawned = apply_emission(chunk.particles, batch, total_e)
+                # pmax re-marks the pool as replicated (see the events block
+                # note): the emission scatter consumes all_gathered inputs,
+                # device-identical by construction, but the checker cannot
+                # infer replication through scatters
+                pool = jax.tree.map(
+                    lambda v: (
+                        jax.lax.pmax(v.astype(jnp.int32), axis).astype(v.dtype)
+                        if v.dtype == jnp.bool_
+                        else jax.lax.pmax(v, axis)
+                    ),
+                    pool,
+                )
+                chunk = chunk.replace(particles=pool)
+                p_active = p_active + jax.lax.pmax(spawned, axis)
+            chunk = update_particle_visibility(chunk, cfg, inputs)
+
         chunk = update_entity_visibility(chunk, cfg, inputs)
+
+        # shadow sprites: psum the disjoint per-slab [L·M] contributions
+        # (each selected light's slots are written by exactly one slab)
+        if shadows_on and sh_out is not None:
+            from ..components import ShadowSprites
+
+            summed = {
+                k: jax.lax.psum(v.astype(jnp.float32), axis)
+                for k, v in sh_out.items()
+            }
+            chunk = chunk.replace(
+                shadow_sprites=ShadowSprites(
+                    active=summed["active"] > 0,
+                    x=summed["x"], y=summed["y"],
+                    rotation=summed["rotation"],
+                    scale_x=summed["scale_x"], scale_y=summed["scale_y"],
+                    alpha=summed["alpha"], radius=summed["radius"],
+                )
+            )
+
         chunk = chunk.replace(step_count=chunk.step_count + 1)
         t = chunk.transform
         metrics = {
             "active_count": jax.lax.psum(
                 jnp.sum(t.active, dtype=jnp.int32), axis
             ),
-            "collision_pair_count": jnp.int32(0),
-            "collision_pairs_dropped": jnp.int32(0),
+            "collision_pair_count": pair_count,
+            "collision_pairs_dropped": pairs_dropped,
             "n_binned": n_binned,
-            "active_particles": jnp.int32(-1),
+            "active_particles": p_active,
             "nonfinite_count": jax.lax.psum(
                 jnp.sum(
                     t.active & ~(jnp.isfinite(t.x) & jnp.isfinite(t.y)),

@@ -227,14 +227,5 @@ class TestHaloValidation:
         with pytest.raises(ValueError, match="divisible"):
             make_halo_step(eng, mesh)
 
-    def test_collision_events_rejected(self):
-        eng = Engine(make_config(
-            world_width=1000.0, world_height=800.0,
-            spatial=dict(cell_size=50.0, max_neighbors=8),
-            logic=dict(collision_events=True),
-        ))
-        eng.register_entity_class(_Fugitive, 63)
-        eng.init()
-        mesh = make_mesh(D, axis_name="slab")
-        with pytest.raises(ValueError, match="collision-event"):
-            make_halo_step(eng, mesh)
+# collision events, device emit and shadow sprites are now supported under
+# the halo step — parity tests live in tests/test_halo_mixed.py
