@@ -98,7 +98,11 @@ def rung_churn(
             plan.next_frame()
         eng.run_plan(plan, max_chunk=plan_chunk)
 
-    run_frames(plan_chunk)  # warm the plan program (same K/bucket key)
+    # warm TWICE: under the axon tunnel a program's first execution pays the
+    # deploy and its SECOND pays a further one-time multi-second cost;
+    # steady state starts at the third execution
+    run_frames(plan_chunk)
+    run_frames(plan_chunk)
     eng.sync()
     t0 = time.time()
     run_frames(frames)

@@ -87,30 +87,79 @@ class ParticleEmitterAPI:
         if self._engine.config.particle.max_particles <= 0:
             return 0
         n = int(round(self._rr(count, 1)))
+        if n <= 0:
+            return 0
         texture_id = 0
         if texture is not None:
             texture_id = self._engine.sprites.texture_id(texture)
-        for _ in range(n):
-            px = self._rr(x)
-            py = self._rr(y)
-            pz = self._rr(z, 0.0)
-            if angle_xy is not None and speed is not None:
-                # polar mode (ParticleEmitter.js:127-134): degrees, 0=right
-                ang = math.radians(self._rr(angle_xy, 0.0))
-                spd = self._rr(speed, 0.0)
-                pvx, pvy = spd * math.cos(ang), spd * math.sin(ang)
+
+        # Vectorized drawing: ONE rng.draw for all particles' range fields,
+        # consuming the seeded stream in exactly the per-particle order the
+        # scalar loop used — x, y, z, velocity pair, tint, vz, lifespan,
+        # scale, alpha (fields given as plain scalars consume no draws).
+        # Collision hooks emit per event (predator.js:94-125); the scalar
+        # loop's ~70 python rng calls per emit dominated event dispatch.
+        polar = angle_xy is not None and speed is not None
+        order = [("x", x, 0.0), ("y", y, 0.0), ("z", z, 0.0)]
+        order += (
+            [("angle_xy", angle_xy, 0.0), ("speed", speed, 0.0)]
+            if polar else [("vx", vx, 0.0), ("vy", vy, 0.0)]
+        )
+        order += [("tint", tint, None), ("vz", vz, 0.0),
+                  ("lifespan", lifespan, 1000.0), ("scale", scale, 1.0),
+                  ("alpha", alpha, 1.0)]
+        consumers = [
+            (key, _as_range(val)) for key, val, _d in order
+            if val is not None and _as_range(val) is not None
+        ]
+        if consumers:
+            draws = self._engine.rng.draw(n * len(consumers)).reshape(
+                n, len(consumers)
+            )
+        cols: Dict[str, np.ndarray] = {}
+        ci = 0
+        for key, val, default in order:
+            rng_pair = _as_range(val) if val is not None else None
+            if rng_pair is None:
+                if key == "tint":
+                    cols[key] = np.full(
+                        (n,),
+                        0xFFFFFF if val is None else int(val), np.uint32,
+                    )
+                else:
+                    cols[key] = np.full(
+                        (n,), float(default if val is None else val),
+                        np.float32,
+                    )
+                continue
+            t = draws[:, ci]
+            ci += 1
+            lo, hi = rng_pair
+            if key == "tint":
+                # randomColor (utils.js:65-93): per-channel lerp by one t
+                ilo, ihi = int(lo), int(hi)
+                out = np.zeros((n,), np.uint32)
+                for shift in (16, 8, 0):
+                    a = (ilo >> shift) & 0xFF
+                    b = (ihi >> shift) & 0xFF
+                    out |= np.round(a + t * (b - a)).astype(np.uint32) << shift
+                cols[key] = out
             else:
-                pvx, pvy = self._rr(vx, 0.0), self._rr(vy, 0.0)
-            color = self._rcolor(tint)
-            self._pending.append(dict(
-                x=px, y=py, z=pz, vx=pvx, vy=pvy, vz=self._rr(vz, 0.0),
-                lifespan=self._rr(lifespan, 1000.0),
-                gravity=float(gravity if gravity is not None else 0.15),
-                scale=self._rr(scale, 1.0), alpha=self._rr(alpha, 1.0),
-                tint=color, texture_id=texture_id,
-                fade_on_the_floor=float(fade_on_the_floor or 0.0),
-                stay_on_the_floor=bool(stay_on_the_floor),
-            ))
+                cols[key] = (lo + t * (hi - lo)).astype(np.float32)
+        if polar:
+            ang = np.radians(cols.pop("angle_xy"))
+            spd = cols.pop("speed")
+            cols["vx"] = (spd * np.cos(ang)).astype(np.float32)
+            cols["vy"] = (spd * np.sin(ang)).astype(np.float32)
+        cols["gravity"] = np.full(
+            (n,), float(gravity if gravity is not None else 0.15), np.float32
+        )
+        cols["texture_id"] = np.full((n,), texture_id, np.int32)
+        cols["fade_on_the_floor"] = np.full(
+            (n,), float(fade_on_the_floor or 0.0), np.float32
+        )
+        cols["stay_on_the_floor"] = np.full((n,), bool(stay_on_the_floor))
+        self._pending.append(cols)
         return n
 
     def clear(self) -> None:
@@ -118,30 +167,27 @@ class ParticleEmitterAPI:
         self._pending.clear()
 
     def build_batch(self):
-        """Drain the queue into a padded field-array batch + real count.
-        Returns (batch dict of numpy arrays, n) or (None, 0)."""
+        """Drain the queue (per-emit column blocks) into a padded field-array
+        batch + real count. Returns (batch dict of numpy arrays, n) or
+        (None, 0)."""
         if not self._pending:
             return None, 0
-        n = len(self._pending)
+        n = sum(int(c["x"].shape[0]) for c in self._pending)
         bucket = next((b for b in self.BUCKETS if b >= n), self.BUCKETS[-1])
-        if n > bucket:  # beyond the largest bucket: truncate (pool-bounded anyway)
-            self._pending = self._pending[:bucket]
-            n = bucket
-        keys_f32 = ("x", "y", "z", "vx", "vy", "vz", "lifespan", "gravity",
-                    "scale", "alpha", "fade_on_the_floor")
+        n = min(n, bucket)  # beyond the largest bucket: truncate (pool-bounded)
+        keys = (
+            ("x", np.float32), ("y", np.float32), ("z", np.float32),
+            ("vx", np.float32), ("vy", np.float32), ("vz", np.float32),
+            ("lifespan", np.float32), ("gravity", np.float32),
+            ("scale", np.float32), ("alpha", np.float32),
+            ("fade_on_the_floor", np.float32),
+            ("tint", np.uint32), ("texture_id", np.int32),
+            ("stay_on_the_floor", bool),
+        )
         batch: Dict[str, np.ndarray] = {}
-        for k in keys_f32:
-            arr = np.zeros((bucket,), np.float32)
-            arr[:n] = [p[k] for p in self._pending]
+        for k, dt in keys:
+            arr = np.zeros((bucket,), dt)
+            arr[:n] = np.concatenate([c[k] for c in self._pending])[:n]
             batch[k] = arr
-        tintarr = np.zeros((bucket,), np.uint32)
-        tintarr[:n] = [p["tint"] for p in self._pending]
-        batch["tint"] = tintarr
-        tex = np.zeros((bucket,), np.int32)
-        tex[:n] = [p["texture_id"] for p in self._pending]
-        batch["texture_id"] = tex
-        stay = np.zeros((bucket,), bool)
-        stay[:n] = [p["stay_on_the_floor"] for p in self._pending]
-        batch["stay_on_the_floor"] = stay
         self._pending.clear()
         return batch, n

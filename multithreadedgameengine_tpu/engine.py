@@ -1127,6 +1127,56 @@ class Engine:
             and bool(hooked_ranges)
         )
 
+        # Per-class neighbor assembly (spatial.neighbor_lists_by_class): the
+        # reference sizes each entity's cell scan by ITS OWN visualRange
+        # (spatial_worker.js:207-211); one global candidate width makes every
+        # row pay for the scene's largest range — at the predators operating
+        # point the 8 predators' range-250 scan was billed to all 15k prey.
+        # Eligible whenever the grid solver owns collisions (the neighbor
+        # solver needs one global list) and recording is hook-scoped.
+        per_class_nbr = (
+            need_neighbors
+            and use_grid_solver
+            and solver_geom is not None
+            and cfg.spatial.method != "bruteforce"
+            and (not cfg.logic.collision_events or scope_hooked)
+        )
+        nbr_specs: Tuple[Tuple[str, int, int, int], ...] = ()
+        light_ranges: Tuple[Tuple[str, int, int], ...] = ()
+        hooked_specs: Tuple[Tuple[str, int, int, int], ...] = ()
+        if per_class_nbr:
+            from .components import LightEmitter as _LE
+
+            vr_np = np.asarray(
+                jax.device_get(read_field(self.world, "collider.visual_range"))
+            )
+            specs_l = []
+            for reg in self.classes.values():
+                if reg.count == 0:
+                    continue
+                ticks_nbr = (
+                    getattr(reg.cls, "tick", None) is not None
+                    and reg.cls.uses_neighbors
+                )
+                is_light = shadows_on and _LE in reg.cls.collect_components()
+                is_hooked = scope_hooked and self._class_has_hooks(reg.cls)
+                if not (ticks_nbr or is_light or is_hooked):
+                    continue
+                s_, c_ = reg.start_index, reg.count
+                vr_c = float(vr_np[s_ : s_ + c_].max()) if c_ else 0.0
+                r_c = (
+                    max(1, math.ceil(vr_c / cfg.spatial.cell_size))
+                    if vr_c > 0 else 1
+                )
+                r_c = min(r_c, max(1, cfg.spatial.max_cell_radius))
+                specs_l.append((reg.cls.__name__, s_, c_, r_c))
+                if is_light:
+                    light_ranges += ((reg.cls.__name__, s_, c_),)
+                if is_hooked:
+                    hooked_specs += ((reg.cls.__name__, s_, c_, r_c),)
+            nbr_specs = tuple(specs_l)
+            per_class_nbr = bool(nbr_specs)
+
         has_particles = cfg.particle.max_particles > 0
         decals_on = has_particles and cfg.particle.decals
         if decals_on:
@@ -1175,9 +1225,18 @@ class Engine:
                     else:
                         extras.append(read_field(world, p))
                 extras = tuple(extras)
-                nbr = neighbor_lists(
-                    t.x, t.y, t.active, c.visual_range, cfg, extras
-                )
+                if per_class_nbr:
+                    from .ops.spatial import neighbor_lists_by_class
+
+                    nbr, nb_binned = neighbor_lists_by_class(
+                        t.x, t.y, t.active, c.visual_range, cfg, extras,
+                        nbr_specs,
+                    )
+                else:
+                    nbr = neighbor_lists(
+                        t.x, t.y, t.active, c.visual_range, cfg, extras
+                    )
+                    nb_binned = nbr.n_binned
             else:
                 # no tick reads neighbors and the grid solver handles
                 # collisions: skip the candidate build entirely
@@ -1190,13 +1249,14 @@ class Engine:
                         data=jnp.zeros((n, 1, 0), jnp.float32)
                     ),
                 )
+                nb_binned = nbr.n_binned
             world, emissions = run_logic_phase(
                 world, nbr, inputs, cfg, type_ranges, payload_channels
             )
             world = advance_animation(world, frame_counts, cfg.dt_ratio)
             world = physics_step(
                 world,
-                nbr if need_neighbors else None,
+                nbr if (need_neighbors and not per_class_nbr) else None,
                 cfg,
                 cfg.dt_ratio,
                 solver_geom=solver_geom,
@@ -1215,18 +1275,20 @@ class Engine:
                 # top-k pair prefilter (top_k over the full predators scan
                 # width was the dominant events-on cost). Static slices in
                 # scan order keep the reference's truncation order.
-                ids_ev, d2_ev = nbr.ids, nbr.d2
-                ch = nbr.payload.data[..., payload_channels["__collision__"]]
-                scan_r = cfg.spatial.max_cell_radius
-                if (
-                    scan_r > 1
-                    and 2.0 * max(self._max_radius, self._solver_radius_bound)
+                capk = cfg.spatial.cell_capacity
+                contact_fits = (
+                    2.0 * max(self._max_radius, self._solver_radius_bound)
                     <= cfg.spatial.cell_size
-                    and nbr.ids.shape[1]
-                    == ((2 * scan_r + 1) ** 2) * cfg.spatial.cell_capacity
-                ):
+                )
+
+                def _contact_subset(ids_a, d2_a, ch_a, scan_r):
+                    if not (
+                        scan_r > 1
+                        and contact_fits
+                        and ids_a.shape[1] == ((2 * scan_r + 1) ** 2) * capk
+                    ):
+                        return ids_a, d2_a, ch_a
                     w_scan = 2 * scan_r + 1
-                    capk = cfg.spatial.cell_capacity
                     blocks = [
                         (dr + scan_r) * w_scan + (dc + scan_r)
                         for dr in (-1, 0, 1)
@@ -1239,12 +1301,66 @@ class Engine:
                             axis=1,
                         )
 
-                    ids_ev, d2_ev, ch = _sub(nbr.ids), _sub(nbr.d2), _sub(ch)
+                    return _sub(ids_a), _sub(d2_a), _sub(ch_a)
 
-                coll_j = ch > jnp.float32(-1.0e30)  # collider active sentinel
                 t2, c2 = world.transform, world.collider
                 self_ok = t2.active & c2.active
-                if scope_hooked:
+                ev_ch = payload_channels["__collision__"]
+                if per_class_nbr:
+                    # each hooked class records from ITS OWN list (its own
+                    # candidate width); classes pad to the widest hooked
+                    # width and concatenate in registration order — the
+                    # same row order as the global hook-scoped path
+                    parts = []
+                    for name, s_, c_cnt, r_c in hooked_specs:
+                        nb_c = nbr[name]
+                        ids_c, d2_c, ch_c = _contact_subset(
+                            nb_c.ids, nb_c.d2,
+                            nb_c.payload.data[..., ev_ch], r_c,
+                        )
+                        parts.append((s_, c_cnt, ids_c, d2_c, ch_c))
+                    w_ev = max(p[2].shape[1] for p in parts)
+
+                    def _padw(a, fill):
+                        return jnp.pad(
+                            a, ((0, 0), (0, w_ev - a.shape[1])),
+                            constant_values=fill,
+                        )
+
+                    ids_r = jnp.concatenate([_padw(p[2], -1) for p in parts])
+                    d2_r = jnp.concatenate([_padw(p[3], 0.0) for p in parts])
+                    ch_r = jnp.concatenate(
+                        [_padw(p[4], jnp.float32(-3.0e38)) for p in parts]
+                    )
+                    g = jnp.concatenate([
+                        jnp.arange(s_, s_ + c_cnt, dtype=jnp.int32)
+                        for s_, c_cnt, *_r in parts
+                    ])
+                    rows_self_ok = jnp.concatenate(
+                        [self_ok[s_ : s_ + c_cnt] for s_, c_cnt, *_r in parts]
+                    )
+                    rows_radius = jnp.concatenate(
+                        [c2.radius[s_ : s_ + c_cnt] for s_, c_cnt, *_r in parts]
+                    )
+                    hooked_j = ch_r >= 0
+                    r_j = jnp.where(hooked_j, ch_r, -ch_r - 1.0)
+                    ok = (
+                        rows_self_ok[:, None] & (ids_r >= 0)
+                        & (ch_r > jnp.float32(-1.0e30))
+                    )
+                    min_d = rows_radius[:, None] + r_j
+                    once = jnp.where(hooked_j, ids_r > g[:, None], True)
+                    rec = ok & (d2_r < min_d * min_d) & once
+                    world, pairs_dropped = record_collision_pairs(
+                        world, ids_r, rec, cfg, row_ids=g
+                    )
+                elif scope_hooked:
+                    ids_ev, d2_ev, ch = _contact_subset(
+                        nbr.ids, nbr.d2, nbr.payload.data[..., ev_ch],
+                        cfg.spatial.max_cell_radius,
+                    )
+                    coll_j = ch > jnp.float32(-1.0e30)  # collider active
+
                     # slice the hooked classes' rows (static ranges) — the
                     # recording pass scales with hooked entities, not N
                     def _rows(a):
@@ -1270,6 +1386,11 @@ class Engine:
                         world, ids_r, rec, cfg, row_ids=g
                     )
                 else:
+                    ids_ev, d2_ev, ch = _contact_subset(
+                        nbr.ids, nbr.d2, nbr.payload.data[..., ev_ch],
+                        cfg.spatial.max_cell_radius,
+                    )
+                    coll_j = ch > jnp.float32(-1.0e30)  # collider active
                     r_j = ch  # unpacked: channel is radius (or the sentinel)
                     ok = self_ok[:, None] & (ids_ev >= 0) & coll_j
                     min_d = c2.radius[:, None] + r_j
@@ -1345,18 +1466,29 @@ class Engine:
             # the reference reads the previous frame's, an accepted stale
             # read in its async pipeline)
             if shadows_on:
-                from .ops.lighting import shadow_sprites as compute_shadows
+                if per_class_nbr:
+                    from .ops.lighting import shadow_sprites_by_class
 
-                world = world.replace(
-                    shadow_sprites=compute_shadows(world, nbr, cfg)
-                )
+                    world = world.replace(
+                        shadow_sprites=shadow_sprites_by_class(
+                            world,
+                            [(s_, c_, nbr[nm]) for nm, s_, c_ in light_ranges],
+                            cfg,
+                        )
+                    )
+                else:
+                    from .ops.lighting import shadow_sprites as compute_shadows
+
+                    world = world.replace(
+                        shadow_sprites=compute_shadows(world, nbr, cfg)
+                    )
 
             world = world.replace(step_count=world.step_count + 1)
             metrics = {
                 "active_count": jnp.sum(world.transform.active, dtype=jnp.int32),
                 "collision_pair_count": world.collision_pair_count,
                 "collision_pairs_dropped": pairs_dropped,
-                "n_binned": nbr.n_binned,
+                "n_binned": nb_binned,
                 "active_particles": p_active,
                 # NaN/explosion guard (SURVEY.md §5.3): active entities with
                 # non-finite positions (the spatial pass already drops them
@@ -1502,6 +1634,27 @@ class Engine:
 
         return hooked3, caps, write_log, make_logs0, dropped_add
 
+    @staticmethod
+    def _pack_logs(logs) -> jnp.ndarray:
+        """Flatten the chunk's 9 log buffers into ONE f32 array: the axon
+        tunnel pays ~50 ms latency per fetched ARRAY, so pulling the log
+        pytree leaf-by-leaf cost ~0.5 s per chunk where one packed pull
+        costs one round trip (ids < 2^24 are f32-exact)."""
+        return jnp.concatenate([l.astype(jnp.float32).reshape(-1) for l in logs])
+
+    def _unpack_logs(self, buf, K: int, caps):
+        """Numpy inverse of _pack_logs given the chunk's caps/K."""
+        buf = np.asarray(buf)
+        out, off = [], 0
+        for cap_t in caps:
+            for shp, as_int in (((K, cap_t, 2), True), ((K,), True),
+                                ((K, cap_t, 2, 3), False)):
+                size = int(np.prod(shp))
+                arr = buf[off : off + size].reshape(shp)
+                out.append(arr.astype(np.int32) if as_int else arr)
+                off += size
+        return tuple(out)
+
     def _event_chunk_fn(self):
         """ONE compiled dynamic-length event-log chunk: steps ``n ≤
         logic.event_chunk`` frames in a device loop, logging every frame's
@@ -1530,6 +1683,8 @@ class Engine:
         K = max(1, self.config.logic.event_chunk)
         hooked3, caps, write_log, make_logs0, dropped_add = self._event_log_spec()
         self._event_chunk_fns["hooked"] = hooked3
+        self._event_chunk_fns["caps"] = caps
+        self._event_chunk_fns["K"] = K
         one_step_impl = self._one_step_impl
 
         def chunk(world: World, inputs: InputState, n: jnp.ndarray,
@@ -1553,11 +1708,12 @@ class Engine:
 
             # traced lower bound: a literal 0 here becomes the last
             # trace-created constant in this program (see _zero_metrics note)
-            return jax.lax.fori_loop(
+            w_out, logs_out, m_out = jax.lax.fori_loop(
                 world.step_count * 0, n, body,
                 (world, logs0,
                  dict(self._zero_metrics(world), event_rows_dropped=zi)),
             )
+            return w_out, self._pack_logs(logs_out), m_out
 
         # NO donation: under the axon runtime, donating the world into this
         # program intermittently fails with INVALID_ARGUMENT on its second
@@ -1622,7 +1778,10 @@ class Engine:
                 self.world, inputs, jnp.int32(k), self._fc_np, self._tex_np
             )
             if has_hooks:
-                self._dispatch_logged_events(logs, k)
+                self._dispatch_logged_events(
+                    logs, k,
+                    self._event_chunk_fns["K"], self._event_chunk_fns["caps"],
+                )
             if not fresh:
                 self.timer.record((time.time() - t0) / k, k)
             else:
@@ -1630,12 +1789,13 @@ class Engine:
         self.metrics = metrics
         return metrics
 
-    def _dispatch_logged_events(self, logs, k: int) -> None:
-        """Pull a chunk program's event log and fire the per-frame hooks
-        (the host half of the device event log, logic_worker.js:429-443)."""
+    def _dispatch_logged_events(self, packed, k: int, K: int, caps) -> None:
+        """Pull a chunk program's PACKED event log (one array — one tunnel
+        round trip, see _pack_logs) and fire the per-frame hooks (the host
+        half of the device event log, logic_worker.js:429-443)."""
         (
             enter, n_e, e_co, stay, n_s, s_co, exit_, n_x, x_co,
-        ) = (np.asarray(v) for v in jax.device_get(logs))
+        ) = self._unpack_logs(jax.device_get(packed), K, caps)
         if int(n_e[:k].sum() + n_s[:k].sum() + n_x[:k].sum()):
             for f in range(k):
                 ce, cs, cx = int(n_e[f]), int(n_s[f]), int(n_x[f])
@@ -1740,7 +1900,9 @@ class Engine:
         )
         self.world = world
         if events_on:
-            self._dispatch_logged_events(logs, F)
+            self._dispatch_logged_events(
+                logs, F, K, self._event_log_spec()[1]
+            )
         if not fresh:
             self.timer.record((time.time() - t0) / F, F)
         else:
@@ -1789,7 +1951,12 @@ class Engine:
                     logs = write_log(logs, w, f)
                 return (w, logs, m)
 
-            return jax.lax.fori_loop(zi, nn, body, (world, logs0, m0))
+            w_out, logs_out, m_out = jax.lax.fori_loop(
+                zi, nn, body, (world, logs0, m0)
+            )
+            if events_on:
+                return w_out, Engine._pack_logs(logs_out), m_out
+            return w_out, logs_out[0], m_out
 
         # unique per-engine+key name: the cpp-pjit fastpath cache is keyed
         # partly by function name (see _event_chunk_fn's notes) — two

@@ -47,21 +47,73 @@ class LightUniforms:
 
 def shadow_sprites(world: World, nbr: NeighborLists, cfg: EngineConfig) -> ShadowSprites:
     lc = cfg.lighting
-    L, M = lc.max_shadow_casting_lights, lc.max_shadows_per_light
-    t, li, sh, sp = world.transform, world.light, world.shadow, world.sprite
+    L = lc.max_shadow_casting_lights
+    t, li, sp = world.transform, world.light, world.sprite
 
     # first L eligible lights in entity-index order (:906-916);
     # worlds smaller than L pad with inactive slots at the end
     light_ok = li.active & t.active & sp.is_on_screen & (li.light_intensity > 0)
     l_take = min(L, light_ok.shape[0])
-    order = jnp.argsort(~light_ok, stable=True)[:l_take]
-    l_valid = light_ok[order]
+    sel = jnp.argsort(~light_ok, stable=True)[:l_take]
+    return _shadow_rows(
+        world, cfg, sel, light_ok[sel], nbr.ids[sel], nbr.d2[sel]
+    )
+
+
+def shadow_sprites_by_class(world: World, light_specs, cfg: EngineConfig) -> ShadowSprites:
+    """:func:`shadow_sprites` over PER-CLASS neighbor lists: ``light_specs``
+    is a list of ``(start, count, NeighborLists)`` for the classes that
+    declare LightEmitter, in slot-range order (ranges ascend with
+    registration, so concatenating preserves global entity-index order —
+    the reference's first-L selection order). Candidate widths pad to the
+    widest class."""
+    lc = cfg.lighting
+    L = lc.max_shadow_casting_lights
+    t, li, sp = world.transform, world.light, world.sprite
+    if not light_specs:
+        from ..components import ShadowSprites as _SS
+
+        return _SS.zeros(L * lc.max_shadows_per_light)
+
+    s_max = max(n.ids.shape[1] for _s, _c, n in light_specs)
+
+    def padw(a, fill):
+        return jnp.pad(a, ((0, 0), (0, s_max - a.shape[1])),
+                       constant_values=fill)
+
+    g = jnp.concatenate([
+        jnp.arange(s, s + c, dtype=jnp.int32) for s, c, _n in light_specs
+    ])
+    ids = jnp.concatenate([padw(n.ids, -1) for _s, _c, n in light_specs])
+    d2 = jnp.concatenate([padw(n.d2, 0.0) for _s, _c, n in light_specs])
+    light_ok = (
+        li.active & t.active & sp.is_on_screen & (li.light_intensity > 0)
+    )[g]
+    l_take = min(L, int(g.shape[0]))
+    order_loc = jnp.argsort(~light_ok, stable=True)[:l_take]
+    return _shadow_rows(
+        world, cfg, g[order_loc], light_ok[order_loc],
+        ids[order_loc], d2[order_loc],
+    )
+
+
+def _shadow_rows(
+    world: World,
+    cfg: EngineConfig,
+    order: jnp.ndarray,
+    l_valid: jnp.ndarray,
+    ids: jnp.ndarray,
+    d2: jnp.ndarray,
+) -> ShadowSprites:
+    """Shared shadow-sprite math for the selected lights: ``order`` =
+    [l_take] global entity indices, ``ids``/``d2`` their neighbor rows."""
+    lc = cfg.lighting
+    L, M = lc.max_shadow_casting_lights, lc.max_shadows_per_light
+    t, li, sh, sp = world.transform, world.light, world.shadow, world.sprite
+    l_take = order.shape[0]
     lx = t.x[order][:, None]
     ly = t.y[order][:, None]
     l_int = li.light_intensity[order][:, None]
-
-    ids = nbr.ids[order]  # [L, S]
-    d2 = nbr.d2[order]
     j = jnp.maximum(ids, 0)
 
     dist = jnp.sqrt(d2)

@@ -321,6 +321,102 @@ def neighbor_lists_grid(
     )
 
 
+def neighbor_lists_by_class(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    active: jnp.ndarray,
+    visual_range: jnp.ndarray,
+    cfg: EngineConfig,
+    extra_fields: Tuple[jnp.ndarray, ...],
+    ranges,
+):
+    """Per-class candidate assembly at per-class scan radii.
+
+    The reference computes ``cellRadius`` per ENTITY from its own
+    visualRange (spatial_worker.js:207-211); the engine's single global
+    ``max_cell_radius`` instead sized every row's candidate scan for the
+    LARGEST range in the scene — at the predators operating point the 8
+    predators' range-250 scan (width 1600) was paid by all 15k prey whose
+    range needs width 576, and the [N, S, F] candidate payload is the
+    dominant HBM term of the whole step.
+
+    ``ranges``: tuple of ``(name, start, count, radius)`` — contiguous class
+    slot ranges and their scan radii (ceil(class max visual_range / cell)).
+    Bins ONCE; builds one padded cell-major neighborhood table per distinct
+    radius; each class row-gathers from its radius's table. Acceptance,
+    scan order and max_neighbors truncation semantics are identical to
+    :func:`neighbor_lists_grid` per row.
+
+    Returns ({name: NeighborLists with rows PRE-SLICED to the class range},
+    n_binned)."""
+    n = x.shape[0]
+    if n >= (1 << 24):
+        raise ValueError("neighbor table packs ids into f32: N must be < 2^24")
+    sp = cfg.spatial
+    cells = cfg.total_cells
+    cols, rows_n = cfg.grid_cols, cfg.grid_rows
+    geom = GridGeom(
+        cell_size=sp.cell_size, rows=rows_n, cols=cols, capacity=sp.cell_capacity
+    )
+
+    finite = jnp.isfinite(x) & jnp.isfinite(y)
+    valid_entity = active & finite
+    arange_n = jnp.arange(n, dtype=jnp.int32)
+    rows_vals = jnp.stack(
+        [arange_n.astype(jnp.float32), x, y]
+        + [jnp.asarray(f, jnp.float32) for f in extra_fields],
+        axis=1,
+    )
+    bins = bin_entities(x, y, valid_entity, geom, table_values=rows_vals)
+    cap, f_ch = sp.cell_capacity, rows_vals.shape[1]
+    tbl = bins.table[:cells].reshape(rows_n, cols, cap, f_ch)
+
+    # one padded + assembled neighborhood table per distinct radius
+    radii = sorted({r for _name, _s, _c, r in ranges})
+    nbh_by_r = {}
+    for r in radii:
+        b_cells = (2 * r + 1) ** 2
+        padded = jnp.zeros(
+            (rows_n + 2 * r, cols + 2 * r, cap, f_ch), jnp.float32
+        ).at[..., 0].set(-1.0)
+        padded = padded.at[r : r + rows_n, r : r + cols].set(tbl)
+        nbh = jnp.concatenate(
+            [
+                padded[r + dr : r + dr + rows_n, r + dc : r + dc + cols]
+                for dr in range(-r, r + 1)
+                for dc in range(-r, r + 1)
+            ],
+            axis=2,
+        ).reshape(cells, b_cells * cap, f_ch)
+        sentinel = (
+            jnp.zeros((1, b_cells * cap, f_ch), jnp.float32).at[..., 0].set(-1.0)
+        )
+        nbh_by_r[r] = jnp.concatenate([nbh, sentinel], axis=0)
+
+    out = {}
+    for name, start, count, r in ranges:
+        sl = slice(start, start + count)
+        flat = nbh_by_r[r][bins.cell_id[sl]]  # [count, S_r, F]
+        cand = flat[..., 0].astype(jnp.int32)
+        dx = flat[..., 1] - x[sl][:, None]
+        dy = flat[..., 2] - y[sl][:, None]
+        d2 = dx * dx + dy * dy
+        vr2 = (visual_range[sl] * visual_range[sl])[:, None]
+        ok = (
+            (cand >= 0)
+            & (cand != arange_n[sl][:, None])
+            & (d2 < vr2)
+            & (d2 > 0)
+            & valid_entity[sl][:, None]
+        )
+        ids, d2_out, cnt = _cap_first_k(cand, d2, ok, sp.max_neighbors)
+        out[name] = NeighborLists(
+            ids=ids, d2=d2_out, count=cnt, n_binned=bins.n_binned,
+            payload=NeighborPayload(data=flat),
+        )
+    return out, bins.n_binned
+
+
 def neighbor_lists_bruteforce(
     x: jnp.ndarray,
     y: jnp.ndarray,
