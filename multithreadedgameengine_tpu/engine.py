@@ -323,6 +323,11 @@ class Engine:
         self.profiler = PhaseProfiler(self)
         self._profiling = False
         self._prev_onscreen: Optional[np.ndarray] = None
+        # renderer-override channel (setSpriteProp/callSpriteMethod RPC,
+        # gameObject.js:546-582 → pixi_worker.js:2009-2053)
+        self._sprite_overrides: Dict[int, Dict[str, Any]] = {}
+        self._sprite_calls: List[Dict[str, Any]] = []
+        self._sprite_call_seq = 0
         self.timeline.log("engine constructed")
         # center camera on world (gameEngine.js camera init)
         self.input.camera_x = self.config.world_width / 2
@@ -2254,6 +2259,51 @@ class Engine:
 
     def resume(self) -> None:
         self.paused = False
+
+    # ------------------------------------------------------------------
+    # renderer sprite-override RPC (gameObject.js:546-582 →
+    # pixi_worker.js:2009-2053): host-side escape hatch for driving one
+    # entity's renderer sprite directly. Props persist (merged into every
+    # published frame's override table until cleared); method calls are
+    # one-shot, sequence-numbered so a polling client replays each once.
+    # ------------------------------------------------------------------
+    def set_sprite_prop(self, index: int, prop: str, value) -> None:
+        """Override a renderer sprite property for entity ``index`` —
+        the setSpriteProp analog (gameObject.js:546-563). ``value=None``
+        clears the override; known props (applied by the web client):
+        tint, alpha, visible, rotation, scale_x, scale_y, frame."""
+        idx = int(index)
+        if value is None:
+            ov = self._sprite_overrides.get(idx)
+            if ov is not None:
+                ov.pop(str(prop), None)
+                if not ov:
+                    del self._sprite_overrides[idx]
+            return
+        self._sprite_overrides.setdefault(idx, {})[str(prop)] = value
+
+    def call_sprite_method(self, index: int, method: str, *args) -> None:
+        """Queue a one-shot renderer sprite method call for entity
+        ``index`` — the callSpriteMethod analog (gameObject.js:565-582).
+        Calls are drained by the render server into /overrides with a
+        monotonically increasing ``seq``."""
+        self._sprite_call_seq += 1
+        self._sprite_calls.append({
+            "seq": self._sprite_call_seq,
+            "index": int(index),
+            "method": str(method),
+            "args": list(args),
+        })
+        # bounded queue: a client polling every second only needs recents
+        if len(self._sprite_calls) > 512:
+            del self._sprite_calls[:-512]
+
+    def sprite_overrides_payload(self) -> Dict[str, Any]:
+        """The /overrides JSON body: persistent prop table + queued calls."""
+        return {
+            "props": {str(k): v for k, v in self._sprite_overrides.items()},
+            "calls": list(self._sprite_calls),
+        }
 
     def destroy(self) -> None:
         """Release device state and compiled programs (gameEngine.destroy,

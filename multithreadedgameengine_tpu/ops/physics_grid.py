@@ -355,6 +355,10 @@ def grid_constraints_resident(
     flat = (rank_safe * rows_buf + (HALO + bins.row)) * cp + (1 + bins.col)
     flat = jnp.where(in_grid, flat, total)  # OOB -> dropped
 
+    # per-field scatters build the layout (measured: a gather-based build —
+    # one meta scatter + [total]-index gathers through the ids — costs 605
+    # ms/step at 1M vs 88 for the scatters; TPU's general gather at 11.5M
+    # indices is far slower than 1M-index scatters into a zeroed buffer)
     def scat(vals, dtype=jnp.float32):
         return (
             jnp.zeros((total,), dtype)
@@ -422,8 +426,10 @@ def grid_constraints_resident(
         0, ph.sub_step_count, substep, (gx, gy, gpx, gpy, meta * 0)
     )
 
-    # read back: one channel-stacked row gather (rows are fast; it is the
-    # row-SCATTER that is slow on TPU — bench_kernels.py)
+    # read back: one channel-stacked row gather. Measured at 1M on v5e:
+    # 5 per-field [1M]-index gathers cost ~28 ms MORE than stacking
+    # (229 MB write) + one [1M, 5] row gather — the per-index overhead of a
+    # TPU gather amortizes over row channels, so batch channels into rows
     out_flat = jnp.stack(
         [gx, gy, gpx, gpy, g_count.astype(jnp.float32)], axis=-1
     ).reshape(total, 5)

@@ -309,6 +309,15 @@ class RenderServer:
                     body = json.dumps(server.engine.stats()).encode()
                     self._headers(200, "application/json", len(body))
                     self.wfile.write(body)
+                elif self.path.startswith("/overrides"):
+                    # sprite-override RPC plane (gameObject.js:546-582 →
+                    # pixi_worker.js:2009-2053): persistent prop table +
+                    # seq-numbered one-shot method calls
+                    body = json.dumps(
+                        server.engine.sprite_overrides_payload()
+                    ).encode()
+                    self._headers(200, "application/json", len(body))
+                    self.wfile.write(body)
                 else:
                     self._headers(404, "text/plain", 0)
 

@@ -120,3 +120,34 @@ class TestFrameProtocol:
         assert eng.input.mouse_is_down
         assert eng.input.is_down("m")
         assert eng.input.camera_zoom == 2.0
+
+
+class TestSpriteOverrides:
+    """The sprite-override RPC plane (gameObject.js:546-582 →
+    pixi_worker.js:2009-2053): host API → /overrides endpoint → client."""
+
+    def test_override_through_server(self, served):
+        eng, srv = served
+        eng.set_sprite_prop(3, "tint", 0xFF0000)
+        eng.set_sprite_prop(3, "alpha", 0.25)
+        eng.call_sprite_method(7, "gotoAndStop", 2)
+        o = json.loads(get(srv, "/overrides").read())
+        assert o["props"]["3"] == {"tint": 0xFF0000, "alpha": 0.25}
+        assert o["calls"][-1]["index"] == 7
+        assert o["calls"][-1]["method"] == "gotoAndStop"
+        assert o["calls"][-1]["args"] == [2]
+        seq = o["calls"][-1]["seq"]
+        # one-shot calls are sequence-numbered so a polling client
+        # replays each exactly once
+        eng.call_sprite_method(7, "setVisible", False)
+        o2 = json.loads(get(srv, "/overrides").read())
+        assert o2["calls"][-1]["seq"] == seq + 1
+        # clearing a prop removes it from the table
+        eng.set_sprite_prop(3, "alpha", None)
+        o3 = json.loads(get(srv, "/overrides").read())
+        assert o3["props"]["3"] == {"tint": 0xFF0000}
+        eng.set_sprite_prop(3, "tint", None)
+        assert "3" not in json.loads(get(srv, "/overrides").read())["props"]
+        # client script consumes the plane
+        page = get(srv, "/").read().decode()
+        assert "/overrides" in page and "gotoAndStop" in page
