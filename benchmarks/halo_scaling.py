@@ -34,7 +34,7 @@ import time
 DEFAULT_N = 1_000_000
 
 
-def run_one(n: int, n_dev: int) -> dict:
+def run_one(n: int, n_dev: int, scene: str = "balls") -> dict:
     import os
 
     os.environ["XLA_FLAGS"] = (
@@ -46,22 +46,52 @@ def run_one(n: int, n_dev: int) -> dict:
     jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
-    from multithreadedgameengine_tpu.models.balls import make_balls_engine
     from multithreadedgameengine_tpu.parallel import make_halo_step, make_mesh
     from multithreadedgameengine_tpu.parallel.halo import entity_leaf_specs
 
     n_total = (n // n_dev) * n_dev
-    scale = (n_total / 10_000) ** 0.5
-    eng = make_balls_engine(
-        n_balls=n_total - 1, seed=123456,
-        world_width=9000.0 * scale, world_height=4000.0 * scale,
-    )
+    if scene == "boids":
+        # flocking ticks + neighbor tables under the halo step: measures the
+        # logic phase's ×(ticking classes) mask cost at scale (VERDICT r2
+        # weak #5); mirrors the dryrun rung-1 construction
+        from multithreadedgameengine_tpu import Engine, make_config
+        from multithreadedgameengine_tpu.models.boids import Boid
+
+        scale = (n_total / 102_400) ** 0.5
+        eng = Engine(make_config(
+            world_width=12_000.0 * scale, world_height=6_000.0 * scale,
+            seed=123456,
+            spatial=dict(cell_size=100.0, max_neighbors=48, cell_capacity=32),
+            physics=dict(sub_step_count=1),
+        ))
+        eng.register_entity_class(Boid, n_total - 1)
+        eng.init()
+        rng = np.random.default_rng(123456)
+        m = n_total - 1
+        eng.spawn_batch(
+            "Boid", m,
+            x=rng.uniform(50, 12_000.0 * scale - 50, m).astype(np.float32),
+            y=rng.uniform(50, 6_000.0 * scale - 50, m).astype(np.float32),
+            vx=rng.uniform(-3, 3, m).astype(np.float32),
+            vy=rng.uniform(-3, 3, m).astype(np.float32),
+            call_on_spawned=False,
+        )
+    else:
+        from multithreadedgameengine_tpu.models.balls import make_balls_engine
+
+        scale = (n_total / 10_000) ** 0.5
+        eng = make_balls_engine(
+            n_balls=n_total - 1, seed=123456,
+            world_width=9000.0 * scale, world_height=4000.0 * scale,
+        )
     eng._flush_pending()
 
     steps = 2
     if n_dev == 1:
         # single-chip program at the same scale = the work-only baseline
-        eng.step(1, block=True)
+        # (warm with the SAME chunk length: each distinct n compiles its own
+        # chunk program)
+        eng.step(steps, block=True)
         t0 = time.time()
         eng.step(steps)
         eng.sync()
@@ -104,15 +134,23 @@ def run_one(n: int, n_dev: int) -> dict:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_N
     out_path = sys.argv[2] if len(sys.argv) > 2 else "HALO_SCALING.json"
-    if len(sys.argv) > 3 and sys.argv[3] == "--one":
-        print("ONE_JSON " + json.dumps(run_one(n, int(sys.argv[4]))), flush=True)
+    scene = "boids" if "--boids" in sys.argv else "balls"
+    if "--one" in sys.argv:
+        n_dev = int(sys.argv[sys.argv.index("--one") + 1])
+        print("ONE_JSON " + json.dumps(run_one(n, n_dev, scene)), flush=True)
         return
 
+    import os
+
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     results = []
     for n_dev in (1, 2, 4, 8):
         proc = subprocess.run(
-            [sys.executable, "-u", __file__, str(n), out_path, "--one", str(n_dev)],
-            capture_output=True, text=True, timeout=3600,
+            [sys.executable, "-u", __file__, str(n), out_path, "--one", str(n_dev)]
+            + (["--boids"] if scene == "boids" else []),
+            capture_output=True, text=True, timeout=3600, env=env,
         )
         line = next(
             (ln for ln in proc.stdout.splitlines() if ln.startswith("ONE_JSON ")),
@@ -128,7 +166,7 @@ def main() -> None:
 
     base = next((r["ms_per_step"] for r in results
                  if r.get("n_devices") == 1 and "ms_per_step" in r), None)
-    summary = {"n_entities": n, "host_cores": 1, "rungs": results}
+    summary = {"n_entities": n, "scene": scene, "host_cores": 1, "rungs": results}
     if base:
         for r in results:
             if "ms_per_step" in r and r["n_devices"] > 1:
