@@ -43,6 +43,16 @@ class SpatialConfig:
     max_cell_radius: int = 0  # 0 = resolve from max visual_range at first step
     # 'grid' (sort-and-bin hash grid) or 'bruteforce' (O(N^2), for tests/small N)
     method: str = "grid"
+    # per-class candidate assembly (each class's scan sized by its own
+    # visual range, spatial_worker.js:207-211). Results are identical to the
+    # single global-radius table either way. Default OFF: measured on v5e at
+    # the predators operating point (15k prey S=576 vs global S=1600, 3
+    # classes), the split tables LOST to one global table — noevents 17.0 vs
+    # 13.5 ms/step, events 31.3 vs 19.8 — XLA fuses the one wide gather into
+    # its consumers, while per-class materializes a [count, S_r, F] payload
+    # per class. Opt in for scenes where a huge-range class dominates a
+    # cell-major table that would otherwise blow the memory budget.
+    per_class_assembly: bool = False
 
 
 @dataclass(frozen=True)

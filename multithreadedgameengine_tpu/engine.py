@@ -1141,6 +1141,7 @@ class Engine:
         # solver needs one global list) and recording is hook-scoped.
         per_class_nbr = (
             need_neighbors
+            and cfg.spatial.per_class_assembly
             and use_grid_solver
             and solver_geom is not None
             and cfg.spatial.method != "bruteforce"

@@ -227,5 +227,29 @@ class TestHaloValidation:
         with pytest.raises(ValueError, match="divisible"):
             make_halo_step(eng, mesh)
 
+
+class TestHaloPallasSolver:
+    def test_pallas_solver_runs_under_shard_map(self):
+        """The Pallas pair kernel inside the slab shard_map (the real-TPU
+        multi-chip configuration; interpret mode here). jax 0.9's check_vma
+        cannot type pallas_call outputs — make_halo_step must disable it for
+        the pallas solver (and ONLY then), or this raises at trace time.
+        Trajectory must match the XLA grid solver bit-for-bit (the same
+        parity test_pallas.py proves single-device)."""
+        import dataclasses
+
+        def build(solver):
+            eng = _boids_engine(n_total=128)
+            eng.config = dataclasses.replace(
+                eng.config,
+                physics=dataclasses.replace(eng.config.physics, solver=solver),
+            )
+            return eng
+
+        s_grid, _, _ = _run_halo(build("grid"), 3)
+        s_pal, metrics, _ = _run_halo(build("pallas"), 3)
+        _assert_exact(s_grid, s_pal)
+        assert int(metrics["route_overflow_solver"]) == 0
+
 # collision events, device emit and shadow sprites are now supported under
 # the halo step — parity tests live in tests/test_halo_mixed.py
