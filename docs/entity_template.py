@@ -77,6 +77,18 @@ class MyEntity(EntityClass):
     def on_collision_enter(ctx, me, other):
         pass
 
+    # OPTIONAL vectorized variant: when `<hook>_batch` is defined it is
+    # preferred over the scalar hook — ONE call per frame per kind with
+    # (me, other) int arrays holding every pair row whose `me` side is this
+    # class (both orientations, table order). Use ctx.x.take(ids) /
+    # ctx.entity_type.take(ids) for vector reads and emitter.emit_batch for
+    # vectorized particle bursts — at 15k-entity scenes the per-pair Python
+    # loop costs ~2 ms/frame, the batch path microseconds (see
+    # models/predators.py Predator.on_collision_stay_batch).
+    # @staticmethod
+    # def on_collision_enter_batch(ctx, me, other):
+    #     ...
+
     # screen events need logic=dict(screen_events=True)
     @staticmethod
     def on_screen_enter(index):

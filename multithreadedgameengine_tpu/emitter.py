@@ -108,6 +108,87 @@ class ParticleEmitterAPI:
         order += [("tint", tint, None), ("vz", vz, 0.0),
                   ("lifespan", lifespan, 1000.0), ("scale", scale, 1.0),
                   ("alpha", alpha, 1.0)]
+        self._pending.append(self._draw_cols(
+            n, order, polar, gravity, texture_id, fade_on_the_floor,
+            stay_on_the_floor,
+        ))
+        return n
+
+    def emit_batch(
+        self,
+        x,
+        y,
+        count=1,
+        z=0.0,
+        angle_xy=None,
+        speed=None,
+        vx=0.0,
+        vy=0.0,
+        vz=0.0,
+        lifespan=1000.0,
+        gravity=0.15,
+        texture: str = None,
+        tint=None,
+        scale=1.0,
+        alpha=1.0,
+        fade_on_the_floor=0.0,
+        stay_on_the_floor: bool = False,
+    ) -> int:
+        """Multi-burst emit: one burst at each ``(x[b], y[b])`` with a shared
+        field config — the vectorized host analog of B scalar :meth:`emit`
+        calls (what a per-pair collision hook like predator.js:94-125 does).
+        ``count`` (scalar or range, drawn per burst) sets each burst's size.
+
+        Stream-order note: range fields draw one rng call across ALL bursts'
+        particles (burst-major per field), so the seeded stream order differs
+        from B scalar emits — batch hooks are a new vectorized surface, not a
+        bit-parity path."""
+        if self._engine.config.particle.max_particles <= 0:
+            return 0
+        xb = np.asarray(x, np.float32).ravel()
+        yb = np.asarray(y, np.float32).ravel()
+        b = int(xb.size)
+        if b == 0:
+            return 0
+        cr = _as_range(count)
+        if cr is None:
+            counts = np.full((b,), max(0, int(round(float(count)))), np.int64)
+        else:
+            t = np.asarray(self._engine.rng.draw(b))
+            counts = np.maximum(
+                0, np.round(cr[0] + t * (cr[1] - cr[0])).astype(np.int64)
+            )
+        n = int(counts.sum())
+        if n <= 0:
+            return 0
+        texture_id = 0
+        if texture is not None:
+            texture_id = self._engine.sprites.texture_id(texture)
+        polar = angle_xy is not None and speed is not None
+        order = [("z", z, 0.0)]
+        order += (
+            [("angle_xy", angle_xy, 0.0), ("speed", speed, 0.0)]
+            if polar else [("vx", vx, 0.0), ("vy", vy, 0.0)]
+        )
+        order += [("tint", tint, None), ("vz", vz, 0.0),
+                  ("lifespan", lifespan, 1000.0), ("scale", scale, 1.0),
+                  ("alpha", alpha, 1.0)]
+        cols = self._draw_cols(
+            n, order, polar, gravity, texture_id, fade_on_the_floor,
+            stay_on_the_floor,
+        )
+        cols["x"] = np.repeat(xb, counts)
+        cols["y"] = np.repeat(yb, counts)
+        self._pending.append(cols)
+        return n
+
+    def _draw_cols(
+        self, n, order, polar, gravity, texture_id, fade_on_the_floor,
+        stay_on_the_floor,
+    ) -> Dict[str, np.ndarray]:
+        """Shared column builder: resolve each (key, value, default) in
+        ``order`` to an [n] array, drawing ranges from the seeded stream in
+        field order (one draw batch for all range fields)."""
         consumers = [
             (key, _as_range(val)) for key, val, _d in order
             if val is not None and _as_range(val) is not None
@@ -159,8 +240,7 @@ class ParticleEmitterAPI:
             (n,), float(fade_on_the_floor or 0.0), np.float32
         )
         cols["stay_on_the_floor"] = np.full((n,), bool(stay_on_the_floor))
-        self._pending.append(cols)
-        return n
+        return cols
 
     def clear(self) -> None:
         """Drop queued emissions (engine.destroy)."""

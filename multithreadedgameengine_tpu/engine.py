@@ -101,6 +101,11 @@ class _RowView:
     def __getitem__(self, i):
         return self._m[int(i)]
 
+    def take(self, ids) -> np.ndarray:
+        """Vector read for batch hooks: values for an array of entity ids."""
+        m = self._m
+        return np.asarray([m[int(i)] for i in np.asarray(ids).ravel()])
+
 
 class CollisionEventCtx:
     """Host context handed to collision Enter/Stay/Exit hooks. Gathers ONLY
@@ -2195,10 +2200,12 @@ class Engine:
         return any(self._hooked3())
 
     def _hooked3(self) -> Tuple[bool, bool, bool]:
-        """Which of (enter, stay, exit) has a hook on any registered class."""
+        """Which of (enter, stay, exit) has a hook (scalar or ``_batch``
+        vectorized variant) on any registered class."""
         return tuple(
             any(
                 getattr(reg.cls, h, None) is not None
+                or getattr(reg.cls, h + "_batch", None) is not None
                 for reg in self.classes.values()
             )
             for h in ("on_collision_enter", "on_collision_stay", "on_collision_exit")
@@ -2208,6 +2215,7 @@ class Engine:
     def _class_has_hooks(cls) -> bool:
         return any(
             getattr(cls, h, None) is not None
+            or getattr(cls, h + "_batch", None) is not None
             for h in ("on_collision_enter", "on_collision_stay", "on_collision_exit")
         )
 
@@ -2240,13 +2248,38 @@ class Engine:
             self._step_fn = None
 
     def _fire_collision_tables(self, ctx, enters, stays, exits) -> None:
+        """Fire collision hooks for the frame's pair tables. Each pair fires
+        both orientations — (a, b) then (b, a) — in table order, like the
+        reference's per-pair callback loop (logic_worker.js:429-526).
+
+        Dispatch is grouped by the ``me`` side's class: a class defining
+        ``on_collision_<kind>_batch(ctx, me_ids, other_ids)`` receives ONE
+        call with its rows as arrays (its rows keep table order); otherwise
+        its scalar hook fires per row. The per-pair Python loop was ~2 ms a
+        frame at the predators operating point (VERDICT r2 next #4); batch
+        hooks plus :meth:`ParticleEmitterAPI.emit_batch` vectorize it."""
+
         def fire(pairs: np.ndarray, hook_name: str) -> None:
-            for a, b in pairs:
-                for me, other in ((int(a), int(b)), (int(b), int(a))):
-                    reg = self._class_of_index(me)
-                    hook = getattr(reg.cls, hook_name, None)
-                    if hook is not None:
-                        hook(ctx, me, other)
+            p = np.asarray(pairs, np.int64).reshape(-1, 2)
+            if p.shape[0] == 0:
+                return
+            # interleave orientations: me = a0,b0,a1,b1,... (reference order)
+            me = p[:, [0, 1]].reshape(-1)
+            other = p[:, [1, 0]].reshape(-1)
+            for reg in self.classes.values():
+                batch = getattr(reg.cls, hook_name + "_batch", None)
+                hook = getattr(reg.cls, hook_name, None)
+                if batch is None and hook is None:
+                    continue
+                s_, c_ = reg.start_index, reg.count
+                sel = (me >= s_) & (me < s_ + c_)
+                if not sel.any():
+                    continue
+                if batch is not None:
+                    batch(ctx, me[sel], other[sel])
+                else:
+                    for m_, o_ in zip(me[sel], other[sel]):
+                        hook(ctx, int(m_), int(o_))
 
         fire(enters, "on_collision_enter")
         fire(stays, "on_collision_stay")

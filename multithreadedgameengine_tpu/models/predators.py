@@ -10,6 +10,7 @@ subStepCount=1, seed=123456).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..assets import LPC_ANIMATIONS
 from ..behavior import EntityClass, TickCtx
@@ -193,6 +194,35 @@ class Predator(Boid):
             "sprite.anchor_x": 0.5,
             "sprite.anchor_y": 1.0,
         }
+
+    @staticmethod
+    def on_collision_stay_batch(ctx, me, other):
+        """Vectorized dispatch of :meth:`on_collision_stay` — one
+        ``emit_batch`` for every predator-prey contact this frame instead of
+        a Python call + emit per pair (engine._fire_collision_tables prefers
+        the ``_batch`` variant when defined; the scalar hook below stays as
+        the reference-shaped per-pair form, predator.js:94-125)."""
+        types = ctx.entity_type.take(other)
+        sel = types == Prey.entity_type
+        if not sel.any():
+            return
+        prey = np.asarray(other)[sel]
+        ctx.emitter.emit_batch(
+            x=ctx.x.take(prey),
+            y=ctx.y.take(prey),
+            count={"min": 4, "max": 8},
+            texture="blood",
+            z=-30.0,
+            angle_xy={"min": 0.0, "max": 360.0},
+            speed={"min": 0.7, "max": 1.66},
+            vz={"min": -4.0, "max": 0.0},
+            lifespan=6000.0,
+            gravity=0.15,
+            scale={"min": 0.1, "max": 0.2},
+            alpha={"min": 0.4, "max": 0.9},
+            tint={"min": 0xAAAAAA, "max": 0xFFFFFF},
+            stay_on_the_floor=True,
+        )
 
     @staticmethod
     def on_collision_stay(ctx, me, other):

@@ -461,3 +461,129 @@ class TestHookScopedRecording:
         cnt = int(np.asarray(w.collision_pair_count))
         pairs = {tuple(p) for p in np.asarray(w.collision_pairs)[:cnt]}
         assert (min(p1, p2), max(p1, p2)) in pairs
+
+
+# ---------------------------------------------------------------------------
+# Batch collision hooks (vectorized host dispatch) + emit_batch
+# ---------------------------------------------------------------------------
+
+class TestBatchCollisionHooks:
+    def _scene(self, cls):
+        eng = Engine(make_config(
+            world_width=500.0, world_height=500.0,
+            spatial=dict(cell_size=50.0, max_neighbors=8),
+            logic=dict(collision_events=True, event_chunk=4),
+            physics=dict(gravity=(0.0, 0.0)),
+        ))
+        eng.register_entity_class(cls, 8)
+        eng.init()
+        eng.spawn(cls.__name__, x=100.0, y=100.0)
+        eng.spawn(cls.__name__, x=110.0, y=100.0)
+        eng.spawn(cls.__name__, x=300.0, y=300.0)  # no contact
+        return eng
+
+    def test_batch_hook_receives_both_orientations_in_order(self):
+        """A class defining only the _batch variant gets ONE call per frame
+        per kind with (me, other) arrays — both orientations of every pair,
+        interleaved in table order like the reference's per-pair loop."""
+
+        class _BatchHook(EntityClass):
+            components = [Collider]
+            uses_neighbors = False
+            calls = []
+
+            @classmethod
+            def setup(cls, ctx):
+                return {"collider.radius": 10.0, "rigid_body.static": True,
+                        "collider.visual_range": 60.0}
+
+            @staticmethod
+            def on_collision_enter_batch(ctx, me, other):
+                _BatchHook.calls.append(
+                    (list(np.asarray(me)), list(np.asarray(other)))
+                )
+
+        _BatchHook.calls = []
+        eng = self._scene(_BatchHook)
+        eng.step(4)
+        eng.sync()
+        assert len(_BatchHook.calls) == 1  # one Enter frame, one call
+        me, other = _BatchHook.calls[0]
+        a, b = sorted(me[:2])
+        assert me == [a, b] and other == [b, a]
+
+    def test_batch_hook_matches_scalar_hook_pairs(self):
+        """Scalar and batch dispatch observe the same (me, other) rows."""
+
+        def make(batch):
+            class _H(EntityClass):
+                components = [Collider]
+                uses_neighbors = False
+                rows = []
+
+                @classmethod
+                def setup(cls, ctx):
+                    return {"collider.radius": 10.0,
+                            "rigid_body.static": True,
+                            "collider.visual_range": 60.0}
+
+            if batch:
+                def hook_b(ctx, me, other, _H=_H):
+                    _H.rows.extend(
+                        (int(m), int(o))
+                        for m, o in zip(np.asarray(me), np.asarray(other))
+                    )
+                _H.on_collision_stay_batch = staticmethod(hook_b)
+            else:
+                def hook_s(ctx, me, other, _H=_H):
+                    _H.rows.append((int(me), int(other)))
+                _H.on_collision_stay = staticmethod(hook_s)
+            _H.__name__ = "_H"
+            return _H
+
+        out = []
+        for batch in (False, True):
+            cls = make(batch)
+            eng = self._scene(cls)
+            eng.step(4)
+            eng.sync()
+            out.append(list(cls.rows))
+        assert out[0] == out[1] and len(out[0]) > 0
+
+    def test_emit_batch_counts_and_positions(self):
+        eng = small_engine(n=8, particle=dict(max_particles=256))
+        eng.spawn("Ball", x=100.0, y=100.0)
+        eng.step(1, block=True)
+        xs = np.asarray([50.0, 150.0, 250.0], np.float32)
+        ys = np.asarray([60.0, 160.0, 260.0], np.float32)
+        n = eng.emitter.emit_batch(x=xs, y=ys, count=3, lifespan=5000.0,
+                                   gravity=0.0, vz=0.0)
+        assert n == 9
+        eng.step(1, block=True)
+        w = eng.snapshot()
+        act = np.asarray(w.particles.active)
+        px = np.asarray(w.particles.x)[act]
+        assert act.sum() == 9
+        # three particles at each burst x (no velocity drift in 1 frame? they
+        # do integrate once; positions stay within a small neighborhood)
+        for bx in xs:
+            assert (np.abs(px - bx) < 5.0).sum() == 3
+
+    def test_predator_batch_hook_spawns_blood(self):
+        from multithreadedgameengine_tpu.models.predators import (
+            make_predators_engine,
+        )
+
+        eng = make_predators_engine(
+            n_prey=24, n_predators=2, n_lights=1, spawn=False,
+            logic=dict(collision_events=True, event_chunk=2),
+            particle=dict(max_particles=512),
+        )
+        # force a contact: spawn a predator directly on a prey
+        eng.spawn("Prey", x=500.0, y=500.0)
+        eng.spawn("Predator", x=505.0, y=500.0)
+        for _ in range(3):
+            eng.step(2)
+        eng.sync()
+        act = int(np.asarray(eng.snapshot().particles.active).sum())
+        assert act > 0  # blood burst landed through the batch hook
