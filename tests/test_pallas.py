@@ -17,12 +17,17 @@ from test_physics import world_from_golden
 from test_physics_grid import make_cfg, random_scene
 
 
-def run_both(s, steps=1):
+def run_both(s, steps=1, symmetric=False):
+    # symmetric=False pins the two-sided kernel whose accumulation order is
+    # bit-exact with the XLA grid solver; the Newton-reciprocal kernel
+    # (solver_symmetric=True, the production default) is covered by
+    # TestSymmetricKernel at allclose + exact-count strength.
     geom = solver_geometry(make_cfg("grid"), float(np.max(s.radius)))
+    cp_ = make_cfg("pallas", solver_symmetric=symmetric)
     wx = world_from_golden(s, make_cfg("grid"))
-    wp = world_from_golden(s, make_cfg("pallas"))
+    wp = world_from_golden(s, cp_)
     fx = jax.jit(lambda w: grid_constraints(w, make_cfg("grid"), geom)[0])
-    fp = jax.jit(lambda w: grid_constraints(w, make_cfg("pallas"), geom)[0])
+    fp = jax.jit(lambda w: grid_constraints(w, cp_, geom)[0])
     for _ in range(steps):
         wx = fx(wx)
         wp = fp(wp)
@@ -72,7 +77,8 @@ class TestPallasPairPass:
             make_cfg("grid", boundary_elasticity=0.0), float(np.max(s.radius))
         )
         cg = make_cfg("grid", boundary_elasticity=0.0)
-        cp_ = make_cfg("pallas", boundary_elasticity=0.0)
+        cp_ = make_cfg("pallas", boundary_elasticity=0.0,
+                       solver_symmetric=False)
         wx = world_from_golden(s, cg)
         wp = world_from_golden(s, cp_)
         fx = jax.jit(lambda w: grid_constraints(w, cg, geom)[0])
@@ -85,3 +91,70 @@ class TestPallasPairPass:
         np.testing.assert_array_equal(wx.transform.y, wp.transform.y)
         np.testing.assert_array_equal(wx.rigid_body.px, wp.rigid_body.px)
         np.testing.assert_array_equal(wx.rigid_body.py, wp.rigid_body.py)
+
+
+class TestSymmetricKernel:
+    """The Newton-reciprocal kernel (solver_symmetric=True, the production
+    default): each pair is resolved once from its forward offset and both
+    sides accumulated. Per-pair forces are bit-identical to the two-sided
+    enumeration — only each slot's fp ADDITION order differs — so positions
+    agree to float rounding while int32 contact counts are exact."""
+
+    @pytest.mark.parametrize("seed", [0, 3, 7])
+    def test_matches_twosided_allclose_counts_exact(self, seed):
+        wx, wp = run_both(random_scene(seed, n=90), steps=2, symmetric=True)
+        np.testing.assert_allclose(
+            wx.transform.x, wp.transform.x, rtol=0, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            wx.transform.y, wp.transform.y, rtol=0, atol=1e-3
+        )
+        np.testing.assert_array_equal(
+            wx.rigid_body.collision_count, wp.rigid_body.collision_count
+        )
+
+    def test_tile_boundary_pairs(self):
+        """A pair straddling a kernel row-tile boundary exercises the spill
+        row (j side lands one row below the tile). Both entities must move
+        apart and both must count the contact."""
+        from multithreadedgameengine_tpu import make_config
+        from multithreadedgameengine_tpu.ops.physics_grid import (
+            grid_constraints_resident,
+            resident_tile_rows,
+        )
+
+        cfgp = make_config(
+            world_width=600.0, world_height=3000.0,
+            spatial=dict(max_neighbors=64, method="bruteforce"),
+            physics=dict(
+                gravity=(0.0, 0.0), sub_step_count=1, solver="pallas",
+                boundary_elasticity=0.5, collision_response_strength=0.7,
+            ),
+        )
+        geom = solver_geometry(cfgp, 12.0)
+        cell = geom.cell_size
+        cp_pad = -(-(geom.cols + 2) // 128) * 128
+        tr = resident_tile_rows(geom.capacity, cp_pad)
+        assert geom.rows > tr, "world must span >1 row tile"
+        yb = cell * tr  # world y of the first tile boundary
+        # two overlapping entities in the cells just above/below the boundary
+        s = GoldenState.of(
+            2,
+            x=[300.0, 300.0],
+            y=[yb - 4.0, yb + 4.0],
+            radius=[9.0, 9.0],
+        )
+        s.px[:] = s.x
+        s.py[:] = s.y
+        w = world_from_golden(s, cfgp)
+        w2, _, _ = jax.jit(
+            lambda w: grid_constraints_resident(w, cfgp, geom)
+        )(w)
+        w2 = jax.device_get(w2)
+        y = w2.transform.y[:2]
+        cnt = w2.rigid_body.collision_count[:2]
+        assert cnt[0] == 1 and cnt[1] == 1
+        assert y[0] < yb - 4.0 and y[1] > yb + 4.0  # pushed apart
+        np.testing.assert_allclose(
+            (yb - 4.0) - y[0], y[1] - (yb + 4.0), atol=1e-4
+        )  # symmetric push (equal shares)
