@@ -1265,12 +1265,13 @@ class Engine:
                 world, nbr, inputs, cfg, type_ranges, payload_channels
             )
             world = advance_animation(world, frame_counts, cfg.dt_ratio)
-            world = physics_step(
+            world, solver_overflow = physics_step(
                 world,
                 nbr if (need_neighbors and not per_class_nbr) else None,
                 cfg,
                 cfg.dt_ratio,
                 solver_geom=solver_geom,
+                return_overflow=True,
             )
             # collision-pair recording for Enter/Stay/Exit callbacks:
             # evaluated from the spatial pass's payload (frame-start
@@ -1501,6 +1502,11 @@ class Engine:
                 "collision_pairs_dropped": pairs_dropped,
                 "n_binned": nb_binned,
                 "active_particles": p_active,
+                # grid-solver cell-capacity overflow: entities degraded to
+                # boundary-only this frame (solver_geometry docs; the
+                # reference's analogous degradation is maxNeighbors pair
+                # truncation, physics_worker.js:379-382)
+                "solver_overflow": solver_overflow,
                 # NaN/explosion guard (SURVEY.md §5.3): active entities with
                 # non-finite positions (the spatial pass already drops them
                 # from the grid, matching spatial_worker.js:152-153)
@@ -1549,6 +1555,7 @@ class Engine:
             "collision_pairs_dropped": z,
             "n_binned": z,
             "active_particles": z,
+            "solver_overflow": z,
             "nonfinite_count": z,
         }
 

@@ -375,6 +375,7 @@ def physics_step(
     cfg: EngineConfig,
     dt_ratio: float,
     solver_geom=None,
+    return_overflow: bool = False,
 ) -> World:
     """Full physics frame (updateVerlet, physics_worker.js:145-233).
 
@@ -385,8 +386,17 @@ def physics_step(
       - 'neighbors': the reference-faithful neighbor-list Jacobi solver —
         also the path used whenever collision events are enabled or no
         geometry was resolved.
+
+    ``return_overflow=True`` additionally returns the grid solver's
+    cell-capacity overflow count (entities degraded to boundary-only this
+    frame; 0 on the neighbor-list path) so the engine can surface it as the
+    ``solver_overflow`` metric.
     """
     world = verlet_move(world, cfg, dt_ratio)
+    # traced zero, not jnp.int32(0): fresh concrete constants in a step
+    # program's outputs feed jax 0.9's nondeterministic constant-lifting
+    # (see engine._zero_metrics note)
+    overflow = world.step_count.astype(jnp.int32) * 0
     use_grid = (
         cfg.physics.solver in ("auto", "grid", "pallas")
         and solver_geom is not None
@@ -394,7 +404,7 @@ def physics_step(
     if use_grid:
         from .physics_grid import grid_constraints
 
-        world, _n_binned, _overflow = grid_constraints(world, cfg, solver_geom)
+        world, _n_binned, overflow = grid_constraints(world, cfg, solver_geom)
     else:
         if nbr is None:
             raise ValueError(
@@ -409,4 +419,6 @@ def physics_step(
     # the reference's logic workers actually consume (the physics worker
     # writes collisionData that logic reads on ITS next frame,
     # logic_worker.js:429-443).
+    if return_overflow:
+        return world, overflow
     return world

@@ -587,3 +587,40 @@ class TestBatchCollisionHooks:
         eng.sync()
         act = int(np.asarray(eng.snapshot().particles.active).sum())
         assert act > 0  # blood burst landed through the batch hook
+
+
+# ---------------------------------------------------------------------------
+# Solver capacity override (physics.solver_capacity)
+# ---------------------------------------------------------------------------
+
+class TestSolverCapacityOverride:
+    def test_pinned_capacity_reaches_geometry(self):
+        from multithreadedgameengine_tpu.ops.physics_grid import solver_geometry
+
+        cfg = make_config(
+            world_width=600.0, world_height=400.0,
+            physics=dict(solver="grid", solver_capacity=12),
+        )
+        geom = solver_geometry(cfg, max_radius=10.0, mean_radius=6.0)
+        assert geom.capacity == 12
+        # 0 = auto formula (multiple of 4, >= 8)
+        cfg0 = make_config(
+            world_width=600.0, world_height=400.0,
+            physics=dict(solver="grid"),
+        )
+        g0 = solver_geometry(cfg0, max_radius=10.0, mean_radius=6.0)
+        assert g0.capacity >= 8 and g0.capacity % 4 == 0
+
+    def test_tight_capacity_overflow_is_graceful_and_counted(self):
+        """Capacity 1 in a crowded cell: overflow entities degrade to
+        boundary-only for the frame and the metric reports them."""
+        eng = make_balls_engine(
+            n_balls=40, seed=3,
+            world_width=600.0, world_height=400.0,
+            physics=dict(solver="grid", solver_capacity=1),
+        )
+        eng.step(4, block=True)
+        snap = eng.snapshot()
+        x = np.asarray(snap.transform.x)
+        assert np.isfinite(x).all()
+        assert int(eng.metrics.get("solver_overflow", 0)) > 0
