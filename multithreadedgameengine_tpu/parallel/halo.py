@@ -57,9 +57,13 @@ The full mixed-scene feature set runs under this step (BASELINE config 5):
    state — a documented one-frame staleness the reference's free-running
    particle worker shares).
 
-Still unsupported here: decal stamping (the tile canvas would replicate
-per device) and ``ctx.gather`` of undeclared neighbor fields (global ids
-cannot index local rows — declare fields in ``neighbor_fields``).
+ - decal stamping: landed-particle stamps derive from the replicated pool,
+   so every device blits the identical batch into its (default-replicated)
+   tile canvas — same memory class as the replicated pool.
+
+Still unsupported here: ``ctx.gather`` of undeclared neighbor fields
+(global ids cannot index local rows — declare fields in
+``neighbor_fields``).
 """
 
 from __future__ import annotations
@@ -403,11 +407,19 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0):
         raise ValueError("halo step requires spatial.method='grid'")
     if cfg.physics.solver == "neighbors":
         raise ValueError("halo step requires the grid constraint solver")
-    if cfg.particle.max_particles > 0 and cfg.particle.decals:
-        raise ValueError(
-            "decal stamping is not supported under the halo step (the tile "
-            "canvas would replicate per device; single-chip covers decals)"
-        )
+    # decals: the particle pool runs REPLICATED under this step, so landed
+    # particles produce device-identical stamp batches and the tile canvas
+    # (a default-replicated world leaf) stays consistent — each device blits
+    # the same stamps (memory cost: one canvas per device, same as the pool)
+    decals_on = cfg.particle.max_particles > 0 and cfg.particle.decals
+    if decals_on:
+        from ..ops.decals import default_decal_textures
+
+        # numpy constant (embeds deterministically — see engine note on
+        # jax 0.9 captured-constant lifting)
+        decal_textures = default_decal_textures(len(engine.sprites.textures))
+    else:
+        decal_textures = None
 
     # collision events (engine one_step events block, mapped to slabs): each
     # slab records its residents' pairs with GLOBAL ids; the per-slab tables
@@ -851,10 +863,28 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0):
             from ..ops.culling import update_particle_visibility
             from ..ops.particles import apply_emission, update_particles
 
-            pool, _stamps, p_active = update_particles(
-                chunk.particles, cfg, cfg.dt_ratio, False
+            pool, stamps, p_active = update_particles(
+                chunk.particles, cfg, cfg.dt_ratio, decals_on
             )
             chunk = chunk.replace(particles=pool)
+            if decals_on:
+                from ..ops.decals import stamp_decals
+
+                canvas, dirty = stamp_decals(
+                    chunk.decal_canvas, chunk.decal_dirty, stamps,
+                    decal_textures, cfg,
+                )
+                # pmax re-marks as replicated (see the pool note below):
+                # the stamps come from the replicated pool, so every device
+                # computed the identical canvas
+                chunk = chunk.replace(
+                    decal_canvas=jax.lax.pmax(
+                        canvas.astype(jnp.int32), axis
+                    ).astype(canvas.dtype),
+                    decal_dirty=jax.lax.pmax(
+                        dirty.astype(jnp.int32), axis
+                    ).astype(jnp.bool_),
+                )
             requests, gids = em
             batch, total_e = _merge_emissions(requests, gids, emit_budget, axis)
             if batch is not None:

@@ -314,15 +314,66 @@ class TestHaloMixedScene:
         assert int(metrics["route_overflow_logic"]) == 0
 
 
-class TestHaloDecalsRejected:
-    def test_decals_rejected(self):
+class _Stamper(EntityClass):
+    """Emits stay-on-the-floor droplets that land (and stamp) within a few
+    frames: z starts just below the floor with downward pull."""
+
+    components = [RigidBody, Collider, SpriteRenderer]
+    uses_neighbors = False
+    emit_cap = 2
+
+    @classmethod
+    def setup(cls, ctx):
+        return {"collider.radius": 5.0, "collider.visual_range": 40.0}
+
+    @staticmethod
+    def tick(ctx):
+        return {"emit": {
+            "count": jnp.int32(2),
+            "vx": jnp.asarray([1.5, -1.5]),
+            "vy": 1.0, "z": -2.0, "vz": 1.0, "gravity": 0.3,
+            "lifespan": 8000.0, "scale": 0.3,
+            "tint": jnp.uint32(0xAA2222),
+            "texture_id": jnp.int32(1),  # 0 = reserved/missing (no stamp)
+            "stay_on_the_floor": True,
+        }}
+
+
+class TestHaloDecals:
+    def _engine(self):
         eng = Engine(make_config(
-            world_width=1000.0, world_height=800.0,
+            world_width=1000.0, world_height=800.0, seed=21,
             spatial=dict(cell_size=50.0, max_neighbors=8),
-            particle=dict(max_particles=64, decals=True),
+            physics=dict(sub_step_count=1, gravity=(0.0, 0.0)),
+            particle=dict(
+                max_particles=64, decals=True,
+                decals_tile_size=200.0, decals_resolution=0.1,
+            ),
         ))
-        eng.register_entity_class(_Sparker, 63)
+        eng.register_entity_class(_Stamper, 63)
         eng.init()
-        mesh = make_mesh(D, axis_name="slab")
-        with pytest.raises(ValueError, match="decal"):
-            make_halo_step(eng, mesh)
+        rng = np.random.default_rng(9)
+        for _ in range(20):
+            eng.spawn("_Stamper", x=float(rng.uniform(50, 950)),
+                      y=float(rng.uniform(50, 750)))
+        eng._flush_pending()
+        return eng
+
+    def test_decal_canvas_bit_exact(self):
+        """Landing stay-on-the-floor particles stamp the tile canvas
+        identically under the halo step (replicated pool → replicated
+        stamps), and some stamping must actually have happened."""
+        eng1, eng2 = self._engine(), self._engine()
+        steps = 10
+        w1 = _run_single(eng1, steps)
+        w2, _m = _run_halo(eng2, steps)
+        c1 = np.asarray(w1.decal_canvas)
+        c2 = np.asarray(w2.decal_canvas)
+        assert c1.any(), "scene must actually stamp decals"
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(
+            np.asarray(w1.decal_dirty), np.asarray(w2.decal_dirty)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(w1.particles.active), np.asarray(w2.particles.active)
+        )
