@@ -260,11 +260,12 @@ class TickCtx:
 
     __slots__ = ("i", "world", "neighbor_ids", "neighbor_d2", "neighbor_count",
                  "inputs", "dt_ratio", "config", "neighbor_payload",
-                 "payload_channels", "self_view")
+                 "payload_channels", "self_view", "gather_fn")
 
     def __init__(self, i, world: World, neighbor_ids, neighbor_d2,
                  neighbor_count, inputs: InputState, dt_ratio, config: EngineConfig,
-                 neighbor_payload=None, payload_channels=None, self_view=None):
+                 neighbor_payload=None, payload_channels=None, self_view=None,
+                 gather_fn=None):
         self.i = i
         self.world = world
         self.neighbor_ids = neighbor_ids  # int32[K], -1 padded
@@ -276,6 +277,10 @@ class TickCtx:
         self.neighbor_payload = neighbor_payload  # f32[K, F] or None
         self.payload_channels = payload_channels or {}
         self.self_view = self_view  # {comp_name: batched component} or None
+        # optional path -> GLOBAL-index array resolver: under the halo step
+        # neighbor ids are global while ctx.world holds local routed rows,
+        # so gathers route through an all_gathered field instead
+        self.gather_fn = gather_fn
 
     # -- self accessors (this.x / this.vx ... gameObject.js:226-295) --
     def _self_field(self, comp_name: str, field: str) -> jnp.ndarray:
@@ -331,12 +336,24 @@ class TickCtx:
     def gather(self, path_or_array) -> jnp.ndarray:
         """Gather a world field (or raw [N] array) at the neighbor indices.
         SLOW PATH (random gather) — declare the path in the class's
-        ``neighbor_fields`` to get it as a free payload channel instead."""
-        arr = (
-            read_field(self.world, path_or_array)
-            if isinstance(path_or_array, str)
-            else path_or_array
-        )
+        ``neighbor_fields`` to get it as a free payload channel instead.
+        Under the halo step undeclared paths resolve through one all_gather
+        of the field per step (``gather_fn``); raw arrays are local-index
+        and cannot (declare the field instead)."""
+        if self.gather_fn is not None:
+            if not isinstance(path_or_array, str):
+                raise ValueError(
+                    "ctx.gather(raw_array) cannot run under the halo step "
+                    "(rows are slab-local while neighbor ids are global); "
+                    "pass the field path or declare it in neighbor_fields"
+                )
+            arr = self.gather_fn(path_or_array)
+        else:
+            arr = (
+                read_field(self.world, path_or_array)
+                if isinstance(path_or_array, str)
+                else path_or_array
+            )
         return arr[self.neighbor_ids_safe]
 
     def neighbor_col(self, path: str) -> jnp.ndarray:
@@ -566,6 +583,7 @@ def run_logic_phase_masked(
     cfg: EngineConfig,
     type_specs: Sequence[Tuple[type, int]],
     payload_channels: Optional[Dict[str, int]] = None,
+    gather_fn=None,
 ) -> World:
     """Variant of :func:`run_logic_phase` for ROWS IN ARBITRARY ORDER — the
     resident-row form used by the spatial-domain shard_map path
@@ -577,10 +595,12 @@ def run_logic_phase_masked(
     active`` mask (cost × number of ticking classes — the price of
     order-free rows; typical scenes have 1-2 ticking classes).
 
-    Restriction vs run_logic_phase (asserted by the halo-step builder):
-    ticks must read per-neighbor data via declared ``neighbor_fields``
-    payload channels (``ctx.gather`` would index the LOCAL rows with GLOBAL
-    ids).
+    Per-neighbor reads: declared ``neighbor_fields`` payload channels are
+    the fast path. ``ctx.gather`` of an undeclared path works too when the
+    caller supplies ``gather_fn`` (the halo step passes one that all_gathers
+    the HOME field across slabs — correct but one collective per gathered
+    path per step); without it, neighbor ids must index ``world`` directly
+    (single-device layout).
 
     Returns (world, emissions) like run_logic_phase. Single-device emission
     order is class-registration order then entity index then slot; class
@@ -607,7 +627,7 @@ def run_logic_phase_masked(
                           jnp.float32(cfg.dt_ratio), cfg,
                           neighbor_payload=payload_row if has_payload else None,
                           payload_channels=payload_channels,
-                          self_view=view_row)
+                          self_view=view_row, gather_fn=gather_fn)
             out = tick_fn(ctx)
             return out if out is not None else {}
 

@@ -59,11 +59,11 @@ The full mixed-scene feature set runs under this step (BASELINE config 5):
 
  - decal stamping: landed-particle stamps derive from the replicated pool,
    so every device blits the identical batch into its (default-replicated)
-   tile canvas — same memory class as the replicated pool.
-
-Still unsupported here: ``ctx.gather`` of undeclared neighbor fields
-(global ids cannot index local rows — declare fields in
-``neighbor_fields``).
+   tile canvas — same memory class as the replicated pool;
+ - ``ctx.gather`` of undeclared neighbor fields: resolved against the HOME
+   chunk's frame-start field all_gathered into global-id order — one
+   collective per gathered path per step (declare fields in
+   ``neighbor_fields`` for the payload-channel fast path).
 """
 
 from __future__ import annotations
@@ -619,8 +619,19 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0):
             payload=NeighborPayload(data=flat),
         )
 
+        # undeclared-field ctx.gather support: neighbor ids are GLOBAL, so
+        # resolve the path against the HOME chunk's frame-start field
+        # all_gathered into gid order — one collective per gathered path per
+        # step (declared neighbor_fields payload channels remain the fast
+        # path). Values match the single-device ctx.world (frame-start).
+        def gather_fn(path):
+            return jax.lax.all_gather(
+                jnp.asarray(read_field(chunk, path)), axis
+            ).reshape(-1)
+
         local, emissions = run_logic_phase_masked(
-            local, nbr, inputs, cfg, type_specs, payload_channels
+            local, nbr, inputs, cfg, type_specs, payload_channels,
+            gather_fn=gather_fn,
         )
 
         # collision-pair recording on the slab's residents (the engine's

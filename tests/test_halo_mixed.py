@@ -377,3 +377,58 @@ class TestHaloDecals:
         np.testing.assert_array_equal(
             np.asarray(w1.particles.active), np.asarray(w2.particles.active)
         )
+
+
+class _Gatherer(EntityClass):
+    """Tick reads an UNDECLARED neighbor field via ctx.gather — exercises
+    the halo step's all_gather fallback (global-id indexing)."""
+
+    components = [RigidBody, Collider, SpriteRenderer]
+    uses_neighbors = True
+    neighbor_fields = ()  # nothing declared on purpose
+
+    @classmethod
+    def setup(cls, ctx):
+        return {"collider.radius": 6.0, "collider.visual_range": 90.0,
+                "rigid_body.max_vel": 50.0}
+
+    @staticmethod
+    def tick(ctx):
+        m = ctx.neighbor_mask
+        # undeclared per-neighbor reads: radius (physics) + vx (rigid body)
+        nr = ctx.gather("collider.radius")
+        nvx = ctx.gather("rigid_body.vx")
+        denom = jnp.maximum(jnp.sum(m, dtype=jnp.float32), 1.0)
+        avg_r = jnp.sum(jnp.where(m, nr, 0.0)) / denom
+        avg_vx = jnp.sum(jnp.where(m, nvx, 0.0)) / denom
+        return {"rigid_body.vx": ctx.vx * 0.9 + avg_vx * 0.1 + avg_r * 0.01}
+
+
+class TestHaloUndeclaredGather:
+    def _engine(self):
+        eng = Engine(make_config(
+            world_width=2000.0, world_height=1600.0, seed=31,
+            spatial=dict(cell_size=100.0, max_neighbors=16, cell_capacity=16),
+            physics=dict(sub_step_count=1, gravity=(0.0, 0.0)),
+        ))
+        eng.register_entity_class(_Gatherer, 63)
+        eng.init()
+        rng = np.random.default_rng(13)
+        for _ in range(48):
+            eng.spawn("_Gatherer", x=float(rng.uniform(50, 1950)),
+                      y=float(rng.uniform(50, 1550)),
+                      vx=float(rng.uniform(-4, 4)),
+                      vy=float(rng.uniform(-4, 4)))
+        eng._flush_pending()
+        return eng
+
+    def test_gathered_tick_bit_exact(self):
+        eng1, eng2 = self._engine(), self._engine()
+        w1 = _run_single(eng1, 8)
+        w2, _m = _run_halo(eng2, 8)
+        np.testing.assert_array_equal(
+            np.asarray(w1.rigid_body.vx), np.asarray(w2.rigid_body.vx)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(w1.transform.x), np.asarray(w2.transform.x)
+        )
