@@ -1052,7 +1052,7 @@ class Engine:
             cp_pad = math.ceil((solver_geom.cols + 2) / 128) * 128
             cap_ = solver_geom.capacity
             _tr = resident_tile_rows(cap_, cp_pad)
-            vmem = (8 * (_tr + 16) + 3 * _tr + 6 * _tr) * cap_ * cp_pad * 4
+            vmem = (8 * (_tr + 16) + 9 * _tr + 72) * cap_ * cp_pad * 4
             if vmem < 90 * 1024 * 1024:
                 cfg = dataclasses.replace(
                     cfg,

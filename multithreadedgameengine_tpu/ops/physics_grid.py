@@ -313,7 +313,10 @@ def resident_tile_rows(cap: int, cols_pad: int) -> int:
     from .pallas_kernels import HALO
 
     for tr in (32, 16, 8):
-        est = cap * cols_pad * 4 * (8 * (tr + 2 * HALO) + 9 * tr)
+        # 8 halo-window buffers + 3 accumulators + double-buffered outputs
+        # (9·tr) + the symmetric kernel's 3 spill scratch rows and 3
+        # double-buffered spill outputs (72 row-equivalents)
+        est = cap * cols_pad * 4 * (8 * (tr + 2 * HALO) + 9 * tr + 72)
         if est * 2.2 <= 100 * 1024 * 1024:
             return tr
     return 8
