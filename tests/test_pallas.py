@@ -158,3 +158,59 @@ class TestSymmetricKernel:
         np.testing.assert_allclose(
             (yb - 4.0) - y[0], y[1] - (yb + 4.0), atol=1e-4
         )  # symmetric push (equal shares)
+
+    @pytest.mark.parametrize("seed", [2, 5])
+    def test_multi_tile_dense_scene(self, seed):
+        """Dense multi-tile world: many pairs straddle row-tile boundaries,
+        so the spill-row overlap-add carries real contributions. Counts must
+        stay exact vs the two-sided kernel; positions to float rounding."""
+        from multithreadedgameengine_tpu import make_config
+        from multithreadedgameengine_tpu.ops.physics_grid import (
+            grid_constraints,
+            resident_tile_rows,
+        )
+
+        def cfg_of(solver, symmetric=True):
+            return make_config(
+                world_width=400.0, world_height=4000.0,
+                spatial=dict(max_neighbors=64, method="bruteforce"),
+                physics=dict(
+                    gravity=(0.0, 0.4), sub_step_count=2,
+                    boundary_elasticity=0.5,
+                    collision_response_strength=0.7,
+                    solver=solver, solver_symmetric=symmetric,
+                ),
+            )
+
+        rng = np.random.default_rng(seed)
+        n = 400
+        s = GoldenState.of(
+            n,
+            x=rng.uniform(20, 380, n),
+            y=rng.uniform(20, 3980, n),
+            radius=rng.uniform(6.0, 14.0, n),
+            max_vel=np.full(n, 30.0),
+        )
+        s.px[:] = s.x - rng.uniform(-2, 2, n)
+        s.py[:] = s.y - rng.uniform(-2, 2, n)
+        geom = solver_geometry(cfg_of("grid"), float(np.max(s.radius)))
+        cp_pad = -(-(geom.cols + 2) // 128) * 128
+        assert geom.rows > resident_tile_rows(geom.capacity, cp_pad), (
+            "scene must span multiple row tiles"
+        )
+        cs = cfg_of("pallas", True)
+        c2 = cfg_of("pallas", False)
+        ws = world_from_golden(s, cs)
+        w2 = world_from_golden(s, c2)
+        fs = jax.jit(lambda w: grid_constraints(w, cs, geom)[0])
+        f2 = jax.jit(lambda w: grid_constraints(w, c2, geom)[0])
+        for _ in range(2):
+            ws = fs(ws)
+            w2 = f2(w2)
+        ws, w2 = jax.device_get(ws), jax.device_get(w2)
+        np.testing.assert_array_equal(
+            ws.rigid_body.collision_count, w2.rigid_body.collision_count
+        )
+        np.testing.assert_allclose(ws.transform.x, w2.transform.x, atol=1e-3)
+        np.testing.assert_allclose(ws.transform.y, w2.transform.y, atol=1e-3)
+        assert ws.rigid_body.collision_count.sum() > 40  # genuinely dense
