@@ -383,12 +383,23 @@ def halo_world_specs(world: World, axis: str):
     return specs.replace(**ent)
 
 
-def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0):
+def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0,
+                   chunk_steps: int = 1):
     """Build the spatial-domain sharded step for an initialized engine.
 
     Returns (step_fn, place_fn): ``place_fn(world)`` lays the world out over
     the mesh (entity leaves split into [N/D] chunks); ``step_fn(world,
     inputs) -> (world, metrics)`` is the jitted, donated halo step.
+
+    ``chunk_steps=K > 1`` returns a CHUNKED step instead — the multi-chip
+    analog of the single-chip FramePlan control plane: ``step_fn(world,
+    inputs_timeline)`` runs K frames in ONE dispatch under ``lax.scan``,
+    where ``inputs_timeline`` is the input pytree stacked on a leading [K]
+    axis (per-frame input fidelity preserved; stack K copies of one
+    snapshot to freeze it). Metrics come back stacked [K] per key. This
+    amortizes the per-program dispatch cost (~70 ms through the axon
+    tunnel, gameEngine frame loop parity at 60 FPS needs it) across K
+    simulated frames.
     """
     engine._require_init()
     axis = mesh.axis_names[0]
@@ -986,12 +997,28 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0):
 
     w_shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), w_specs)
     rep = NamedSharding(mesh, P())
-    step_fn = jax.jit(
-        full_step,
-        in_shardings=(w_shardings, jax.tree.map(lambda _: rep, engine.input.snapshot())),
-        out_shardings=(w_shardings, jax.tree.map(lambda _: rep, out_specs[1])),
-        donate_argnums=0,
-    )
+    ins_shardings = jax.tree.map(lambda _: rep, engine.input.snapshot())
+    met_shardings = jax.tree.map(lambda _: rep, out_specs[1])
+    if chunk_steps > 1:
+        def chunked(world: World, inputs_timeline):
+            return jax.lax.scan(
+                lambda w, ins: full_step(w, ins), world, inputs_timeline,
+                length=chunk_steps,
+            )
+
+        step_fn = jax.jit(
+            chunked,
+            in_shardings=(w_shardings, ins_shardings),
+            out_shardings=(w_shardings, met_shardings),
+            donate_argnums=0,
+        )
+    else:
+        step_fn = jax.jit(
+            full_step,
+            in_shardings=(w_shardings, ins_shardings),
+            out_shardings=(w_shardings, met_shardings),
+            donate_argnums=0,
+        )
 
     def place_fn(world: World) -> World:
         return jax.tree.map(

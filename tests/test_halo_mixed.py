@@ -432,3 +432,64 @@ class TestHaloUndeclaredGather:
         np.testing.assert_array_equal(
             np.asarray(w1.transform.x), np.asarray(w2.transform.x)
         )
+
+
+class TestHaloChunkedStep:
+    """chunk_steps=K runs K frames per dispatch under lax.scan with a
+    per-frame input timeline — the multi-chip FramePlan analog."""
+
+    def _engine(self):
+        eng = Engine(make_config(
+            world_width=2000.0, world_height=1600.0, seed=41,
+            spatial=dict(cell_size=100.0, max_neighbors=16, cell_capacity=16),
+            physics=dict(sub_step_count=1, gravity=(0.0, 0.1)),
+        ))
+        eng.register_entity_class(_Drifter, 63)
+        eng.init()
+        rng = np.random.default_rng(17)
+        for _ in range(40):
+            eng.spawn("_Drifter", x=float(rng.uniform(50, 1950)),
+                      y=float(rng.uniform(50, 1550)),
+                      vx=float(rng.uniform(-4, 4)), vy=float(rng.uniform(-4, 4)))
+        eng._flush_pending()
+        return eng
+
+    def test_chunked_matches_per_step_with_input_timeline(self):
+        K = 3
+        mesh = make_mesh(D, axis_name="slab")
+
+        # per-frame inputs: the mouse sweeps across the world
+        def snap_at(eng, k):
+            eng.input.set_mouse(200.0 + 400.0 * k, 300.0 + 100.0 * k)
+            eng.input.mouse_button(0, True)
+            return eng.input.snapshot()
+
+        eng1 = self._engine()
+        step1, place1 = make_halo_step(eng1, mesh)
+        w1 = place1(eng1.world)
+        snaps = []
+        for k in range(K):
+            s = snap_at(eng1, k)
+            snaps.append(s)
+            w1, m1 = step1(w1, s)
+        w1 = jax.device_get(w1)
+
+        eng2 = self._engine()
+        step2, place2 = make_halo_step(eng2, mesh, chunk_steps=K)
+        w2 = place2(eng2.world)
+        timeline = jax.tree.map(lambda *xs: jnp.stack(xs), *snaps)
+        w2, m2 = step2(w2, timeline)
+        w2 = jax.device_get(w2)
+
+        np.testing.assert_array_equal(
+            np.asarray(w1.transform.x), np.asarray(w2.transform.x)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(w1.transform.y), np.asarray(w2.transform.y)
+        )
+        assert int(np.asarray(w2.step_count)) == K
+        # metrics stacked [K]
+        assert np.asarray(m2["active_count"]).shape == (K,)
+        assert int(np.asarray(m2["active_count"])[-1]) == int(
+            np.asarray(m1["active_count"])
+        )
