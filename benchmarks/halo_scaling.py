@@ -51,7 +51,23 @@ def run_one(n: int, n_dev: int, scene: str = "balls",
     from multithreadedgameengine_tpu.parallel.halo import entity_leaf_specs
 
     n_total = (n // n_dev) * n_dev
-    if scene == "boids":
+    if scene == "predators":
+        # BASELINE config 5's MIXED feature set sharded: flocking AI +
+        # collision events + device emit + lighting/shadow sprites + decals
+        # under the halo step (scaled-down entity count; same per-entity
+        # work). Entity slots: mouse + prey + 24 predators + 7 lights.
+        from multithreadedgameengine_tpu.models.predators import (
+            make_predators_engine,
+        )
+
+        n_prey = n_total - 32
+        scale = (n_total / 15_028) ** 0.5
+        eng = make_predators_engine(
+            n_prey=n_prey, n_predators=24, n_lights=7,
+            world_width=7000.0 * scale, world_height=3500.0 * scale,
+            logic=dict(collision_events=True),
+        )
+    elif scene == "boids":
         # flocking ticks + neighbor tables under the halo step: measures the
         # logic phase's ×(ticking classes) mask cost at scale (VERDICT r2
         # weak #5); mirrors the dryrun rung-1 construction
@@ -88,7 +104,7 @@ def run_one(n: int, n_dev: int, scene: str = "balls",
     eng._flush_pending()
 
     steps = 2
-    if n_dev == 1:
+    if n_dev == 1 and scene != "predators":
         # single-chip program at the same scale = the work-only baseline
         # (warm with the SAME chunk length: each distinct n compiles its own
         # chunk program)
@@ -98,14 +114,44 @@ def run_one(n: int, n_dev: int, scene: str = "balls",
         eng.sync()
         per = (time.time() - t0) / steps
         return {"n_devices": 1, "ms_per_step": round(per * 1000, 1)}
+    if n_dev == 1:
+        # predators: the engine's single-chip EVENTS path is structurally
+        # different (host-chunked event log + hook dispatch vs the halo
+        # step's in-program diff), so the work-only baseline is the SAME
+        # halo program on a 1-device mesh — one slab, degenerate collectives
+        from multithreadedgameengine_tpu.parallel import (
+            make_halo_step, make_mesh,
+        )
+
+        mesh = make_mesh(1, axis_name="slab")
+        step, place = make_halo_step(eng, mesh, oversub=oversub,
+                                     check_vma=False)
+        world = place(eng.world)
+        ins = eng.input.snapshot()
+        world, _m = step(world, ins)
+        jax.device_get(world.step_count)
+        t0 = time.time()
+        for _ in range(steps):
+            world, _m = step(world, ins)
+        jax.device_get(world.step_count)
+        per = (time.time() - t0) / steps
+        return {
+            "n_devices": 1, "ms_per_step": round(per * 1000, 1),
+            "baseline": "halo_program_single_slab",
+        }
 
     # route-capacity oversubscription is a SCENE property: gravity piles
     # concentrate most entities in the bottom slabs (needs ~4x headroom);
     # uniform-density flocking needs only mild slack. Per-device routed work
     # is D*cap_route = min(oversub*n_loc, n_glob) rows, so an honest tight
     # oversub is what lets per-slab work actually shrink with D.
+    # check_vma=False matches the real-TPU configuration (the Pallas solver
+    # disables the checker there); the identity replication-mark collectives
+    # it would insert are pure emulation overhead on the CPU mesh.
+    # Replication correctness is pinned by tests/test_halo*.py.
     mesh = make_mesh(n_dev, axis_name="slab")
-    step, place = make_halo_step(eng, mesh, oversub=oversub)
+    step, place = make_halo_step(eng, mesh, oversub=oversub,
+                                 check_vma=False)
     world = place(eng.world)
     ins = eng.input.snapshot()
     world, metrics = step(world, ins)  # warm (compile)
@@ -145,9 +191,14 @@ def run_one(n: int, n_dev: int, scene: str = "balls",
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_N
     out_path = sys.argv[2] if len(sys.argv) > 2 else "HALO_SCALING.json"
-    scene = "boids" if "--boids" in sys.argv else "balls"
-    # default oversub: piles need ~4x (balls), uniform scenes ~1.5x (boids)
-    oversub = 1.5 if scene == "boids" else 4.0
+    scene = "balls"
+    if "--boids" in sys.argv:
+        scene = "boids"
+    elif "--predators" in sys.argv:
+        scene = "predators"
+    # default oversub: piles need ~4x (balls); uniform flocking ~1.5x;
+    # predator-prey flee dynamics cluster harder than plain boids
+    oversub = {"boids": 1.5, "predators": 2.5}.get(scene, 4.0)
     if "--oversub" in sys.argv:
         oversub = float(sys.argv[sys.argv.index("--oversub") + 1])
     if "--one" in sys.argv:
@@ -167,7 +218,7 @@ def main() -> None:
     for n_dev in (1, 2, 4, 8):
         proc = subprocess.run(
             [sys.executable, "-u", __file__, str(n), out_path, "--one", str(n_dev)]
-            + (["--boids"] if scene == "boids" else [])
+            + ([f"--{scene}"] if scene != "balls" else [])
             + ["--oversub", str(oversub)],
             capture_output=True, text=True, timeout=3600, env=env,
         )

@@ -384,7 +384,7 @@ def halo_world_specs(world: World, axis: str):
 
 
 def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0,
-                   chunk_steps: int = 1):
+                   chunk_steps: int = 1, check_vma: bool = None):
     """Build the spatial-domain sharded step for an initialized engine.
 
     Returns (step_fn, place_fn): ``place_fn(world)`` lays the world out over
@@ -400,6 +400,15 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0,
     amortizes the per-program dispatch cost (~70 ms through the axon
     tunnel, gameEngine frame loop parity at 60 FPS needs it) across K
     simulated frames.
+
+    ``check_vma``: shard_map's replication checker. Default (None) enables
+    it except with the Pallas solver (whose outputs it cannot type). When
+    ON, identity pmax "marks" re-prove replication of the device-identical
+    event tables / particle pool / decal canvas — real collectives the
+    checker demands but hardware doesn't need; pass False (as the scaling
+    bench does) to drop both the check and the marks, matching the real-TPU
+    configuration. Replication correctness is pinned by the
+    bit-exact-vs-single-device suites either way.
     """
     engine._require_init()
     axis = mesh.axis_names[0]
@@ -416,6 +425,22 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0,
     cfg = engine._resolve_spatial()
     if cfg.spatial.method != "grid":
         raise ValueError("halo step requires spatial.method='grid'")
+    if check_vma is None:
+        # jax 0.9's varying-mesh-axes validation cannot type pallas_call
+        # outputs (ShapeDtypeStruct carries no vma), so the Pallas solver
+        # inside the slab shard_map trips it on a real TPU mesh
+        check_vma = cfg.physics.solver != "pallas"
+
+    def rep_mark(v):
+        """Identity pmax proving a device-identical value replicated to the
+        vma checker; a no-op (and no collective) when the check is off."""
+        if not check_vma:
+            return v
+        if v.dtype in (jnp.bool_, jnp.uint8):
+            return jax.lax.pmax(
+                v.astype(jnp.int32), mesh.axis_names[0]
+            ).astype(v.dtype)
+        return jax.lax.pmax(v, mesh.axis_names[0])
     if cfg.physics.solver == "neighbors":
         raise ValueError("halo step requires the grid constraint solver")
     # decals: the particle pool runs REPLICATED under this step, so landed
@@ -854,12 +879,12 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0,
             new_prev = jax.lax.optimization_barrier(
                 (chunk.collision_pairs, chunk.collision_pair_count)
             )
-            # pmax re-marks these as replicated for shard_map's replication
-            # checker: they ARE device-identical (computed from all_gathered
-            # inputs), but the checker cannot infer that through the
-            # scatter/sort/barrier ops — pmax is the identity here and makes
-            # the replication provable (tables are small: [max_pairs, 2])
-            rep = lambda v: jax.lax.pmax(v, axis)
+            # rep_mark re-marks these as replicated for shard_map's
+            # replication checker: they ARE device-identical (computed from
+            # all_gathered inputs), but the checker cannot infer that
+            # through the scatter/sort/barrier ops (tables are small:
+            # [max_pairs, 2]); no-op when the check is off
+            rep = rep_mark
             pair_count = rep(pair_count)
             pairs_dropped = rep(pairs_dropped)
             chunk = chunk.replace(
@@ -896,35 +921,24 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0,
                     chunk.decal_canvas, chunk.decal_dirty, stamps,
                     decal_textures, cfg,
                 )
-                # pmax re-marks as replicated (see the pool note below):
+                # rep_mark re-marks as replicated (see the pool note below):
                 # the stamps come from the replicated pool, so every device
                 # computed the identical canvas
                 chunk = chunk.replace(
-                    decal_canvas=jax.lax.pmax(
-                        canvas.astype(jnp.int32), axis
-                    ).astype(canvas.dtype),
-                    decal_dirty=jax.lax.pmax(
-                        dirty.astype(jnp.int32), axis
-                    ).astype(jnp.bool_),
+                    decal_canvas=rep_mark(canvas),
+                    decal_dirty=rep_mark(dirty),
                 )
             requests, gids = em
             batch, total_e = _merge_emissions(requests, gids, emit_budget, axis)
             if batch is not None:
                 pool, spawned = apply_emission(chunk.particles, batch, total_e)
-                # pmax re-marks the pool as replicated (see the events block
-                # note): the emission scatter consumes all_gathered inputs,
-                # device-identical by construction, but the checker cannot
-                # infer replication through scatters
-                pool = jax.tree.map(
-                    lambda v: (
-                        jax.lax.pmax(v.astype(jnp.int32), axis).astype(v.dtype)
-                        if v.dtype == jnp.bool_
-                        else jax.lax.pmax(v, axis)
-                    ),
-                    pool,
-                )
+                # rep_mark re-marks the pool as replicated (see the events
+                # block note): the emission scatter consumes all_gathered
+                # inputs, device-identical by construction, but the checker
+                # cannot infer replication through scatters
+                pool = jax.tree.map(rep_mark, pool)
                 chunk = chunk.replace(particles=pool)
-                p_active = p_active + jax.lax.pmax(spawned, axis)
+                p_active = p_active + rep_mark(spawned)
             chunk = update_particle_visibility(chunk, cfg, inputs)
 
         chunk = update_entity_visibility(chunk, cfg, inputs)
@@ -980,13 +994,6 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0,
     )})
 
     from ..engine import apply_inputs
-
-    # check_vma: jax 0.9's varying-mesh-axes validation cannot type
-    # pallas_call outputs (ShapeDtypeStruct carries no vma), so the Pallas
-    # solver inside the slab shard_map trips it on a real TPU mesh; the CPU
-    # (XLA-solver) path keeps the check. Replication correctness of the
-    # psum/pmax metrics is covered by the bit-exact-vs-single-device tests.
-    check_vma = cfg.physics.solver != "pallas"
 
     def full_step(world: World, inputs):
         world = apply_inputs(world, inputs)
