@@ -25,14 +25,22 @@ def measure(events: bool, hook_mode: str, n_prey: int) -> float:
     saved = {}
     if hook_mode != "real":
         for cls in (Prey, Predator):
-            for h in ("on_collision_enter", "on_collision_stay",
-                      "on_collision_exit"):
-                if getattr(cls, h, None) is not None:
-                    saved[(cls, h)] = getattr(cls, h)
-                    if hook_mode == "noop":
-                        setattr(cls, h, staticmethod(lambda ctx, me, other: None))
-                    else:  # "none": no hooked classes at all
-                        setattr(cls, h, None)
+            for base in ("on_collision_enter", "on_collision_stay",
+                         "on_collision_exit"):
+                # neutralize BOTH variants: the engine prefers the _batch
+                # hook when defined, so leaving it active would keep the
+                # real blood emissions in the noop/none legs and invalidate
+                # the tax decomposition
+                for h in (base, base + "_batch"):
+                    if getattr(cls, h, None) is not None:
+                        saved[(cls, h)] = getattr(cls, h)
+                        if hook_mode == "noop":
+                            setattr(
+                                cls, h,
+                                staticmethod(lambda ctx, me, other: None),
+                            )
+                        else:  # "none": no hooked classes at all
+                            setattr(cls, h, None)
     try:
         over = (
             {"logic": dict(collision_events=True, event_chunk=30)}

@@ -94,6 +94,15 @@ class PhysicsConfig:
                 "physics.solver must be 'auto', 'grid', 'neighbors' or "
                 f"'pallas', got {self.solver!r}"
             )
+        if self.solver_capacity > 64:
+            # the pair kernel's i-plane count / VMEM scratch scale with
+            # capacity; refuse instead of silently clamping (scenes that
+            # genuinely pack >64 entities per cell need a smaller cell or
+            # the neighbor-list solver)
+            raise ValueError(
+                f"physics.solver_capacity must be <= 64, got "
+                f"{self.solver_capacity}"
+            )
         return dataclasses.replace(
             self,
             sub_step_count=max(1, int(self.sub_step_count)),

@@ -2255,16 +2255,21 @@ class Engine:
             self._step_fn = None
 
     def _fire_collision_tables(self, ctx, enters, stays, exits) -> None:
-        """Fire collision hooks for the frame's pair tables. Each pair fires
-        both orientations — (a, b) then (b, a) — in table order, like the
-        reference's per-pair callback loop (logic_worker.js:429-526).
+        """Fire collision hooks for the frame's pair tables.
 
-        Dispatch is grouped by the ``me`` side's class: a class defining
-        ``on_collision_<kind>_batch(ctx, me_ids, other_ids)`` receives ONE
-        call with its rows as arrays (its rows keep table order); otherwise
-        its scalar hook fires per row. The per-pair Python loop was ~2 ms a
-        frame at the predators operating point (VERDICT r2 next #4); batch
-        hooks plus :meth:`ParticleEmitterAPI.emit_batch` vectorize it."""
+        SCALAR hooks fire per row, both orientations interleaved in table
+        order — (a0, b0), (b0, a0), (a1, b1), ... — exactly the reference's
+        per-pair callback loop (logic_worker.js:429-526), regardless of how
+        many classes have hooks.
+
+        A class defining ``on_collision_<kind>_batch(ctx, me_ids,
+        other_ids)`` instead receives ONE call with all of its ``me``-side
+        rows as arrays (rows keep table order WITHIN the call; ACROSS
+        classes the batch calls fire class-registration-major — a documented
+        relaxation of the reference's row-interleaved order that vectorized
+        dispatch requires). The per-pair Python loop was ~2 ms a frame at
+        the predators operating point (VERDICT r2 next #4); batch hooks plus
+        :meth:`ParticleEmitterAPI.emit_batch` vectorize it."""
 
         def fire(pairs: np.ndarray, hook_name: str) -> None:
             p = np.asarray(pairs, np.int64).reshape(-1, 2)
@@ -2273,6 +2278,7 @@ class Engine:
             # interleave orientations: me = a0,b0,a1,b1,... (reference order)
             me = p[:, [0, 1]].reshape(-1)
             other = p[:, [1, 0]].reshape(-1)
+            scalar_rows = np.zeros(me.shape[0], dtype=bool)
             for reg in self.classes.values():
                 batch = getattr(reg.cls, hook_name + "_batch", None)
                 hook = getattr(reg.cls, hook_name, None)
@@ -2280,13 +2286,17 @@ class Engine:
                     continue
                 s_, c_ = reg.start_index, reg.count
                 sel = (me >= s_) & (me < s_ + c_)
-                if not sel.any():
-                    continue
                 if batch is not None:
-                    batch(ctx, me[sel], other[sel])
+                    if sel.any():
+                        batch(ctx, me[sel], other[sel])
                 else:
-                    for m_, o_ in zip(me[sel], other[sel]):
-                        hook(ctx, int(m_), int(o_))
+                    scalar_rows |= sel
+            # scalar hooks: one pass over their rows in TABLE order (class
+            # lookup per row keeps the cross-class interleaving exact)
+            for k in np.flatnonzero(scalar_rows):
+                m_ = int(me[k])
+                hook = getattr(self._class_of_index(m_).cls, hook_name, None)
+                hook(ctx, m_, int(other[k]))
 
         fire(enters, "on_collision_enter")
         fire(stays, "on_collision_stay")

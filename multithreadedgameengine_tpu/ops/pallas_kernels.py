@@ -358,7 +358,7 @@ def _resident_body(
                                 jnp.sum(overlap.astype(jnp.int32), axis=0),
                                 j, dr, dc,
                                 ax_ref, ay_ref, ac_ref,
-                                sx_ref, sy_ref, sc_ref, tr,
+                                sx_ref, sy_ref, sc_ref,
                             )
 
                     @pl.when(any_zero)
@@ -392,7 +392,7 @@ def _resident_body(
                                 jnp.sum(overlap.astype(jnp.int32), axis=0),
                                 j, dr, dc,
                                 ax_ref, ay_ref, ac_ref,
-                                sx_ref, sy_ref, sc_ref, tr,
+                                sx_ref, sy_ref, sc_ref,
                             )
 
                     ac_ref[...] += overlap.astype(jnp.int32)
@@ -411,7 +411,7 @@ def _resident_body(
 
 
 def _acc_back(bx, by, bc, j, dr: int, dc: int,
-              ax_ref, ay_ref, ac_ref, sx_ref, sy_ref, sc_ref, tr: int):
+              ax_ref, ay_ref, ac_ref, sx_ref, sy_ref, sc_ref):
     """Accumulate the j-side (reciprocal) contribution of one (offset, j)
     iteration. ``bx/by/bc`` are [TR, Cp] sums over i-planes, aligned to the
     i rows; the j entities sit at (r+dr, c+dc), so roll forward by (dr, dc).

@@ -63,10 +63,11 @@ def solver_geometry(
     rows = max(1, math.ceil(cfg.world_height / cell))
     cols = max(1, math.ceil(cfg.world_width / cell))
     if cfg.physics.solver_capacity > 0:
-        # pinned by the user (measured occupancy; see PhysicsConfig docs)
+        # pinned by the user (measured occupancy; see PhysicsConfig docs —
+        # values > 64 are rejected by PhysicsConfig.validated)
         return GridGeom(
             cell_size=cell, rows=rows, cols=cols,
-            capacity=min(64, cfg.physics.solver_capacity),
+            capacity=cfg.physics.solver_capacity,
         )
     r_bar = mean_radius if mean_radius > 0 else max_radius
     r_bar = max(r_bar, max_radius / 3.0, 1e-3)

@@ -730,8 +730,19 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0,
             n_binned=jnp.int32(-1),
             payload=NeighborPayload(data=jnp.zeros((m, 1, 0), f32)),
         )
+        # same all_gather gather_fn as phase_a: rows here stay home (local
+        # index == global index offset), but ctx.gather must still resolve
+        # GLOBAL ids — without it each slab would read ITS chunk's rows and
+        # silently diverge from the single-device step. Default-arg binding:
+        # `chunk` is reassigned below.
+        def gather_fn(path, chunk=chunk):
+            return jax.lax.all_gather(
+                jnp.asarray(read_field(chunk, path)), axis
+            ).reshape(-1)
+
         chunk, emissions = run_logic_phase_masked(
-            chunk, empty, inputs, cfg, type_specs, payload_channels
+            chunk, empty, inputs, cfg, type_specs, payload_channels,
+            gather_fn=gather_fn,
         )
         gid = d * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
         return chunk, jnp.int32(-1), jnp.int32(0), None, (emissions, gid), None

@@ -624,3 +624,52 @@ class TestSolverCapacityOverride:
         x = np.asarray(snap.transform.x)
         assert np.isfinite(x).all()
         assert int(eng.metrics.get("solver_overflow", 0)) > 0
+
+
+class TestCrossClassHookOrder:
+    def test_scalar_hooks_fire_in_table_order_across_classes(self):
+        """Two scalar-hooked classes: firing must interleave by table row —
+        (a0,b0),(b0,a0),(a1,b1),... — not group by class (the reference's
+        per-pair callback loop, logic_worker.js:429-526)."""
+        log = []
+
+        def mk(name):
+            class _C(EntityClass):
+                components = [Collider]
+                uses_neighbors = False
+
+                @classmethod
+                def setup(cls, ctx):
+                    return {"collider.radius": 10.0,
+                            "rigid_body.static": True,
+                            "collider.visual_range": 60.0}
+
+                @staticmethod
+                def on_collision_enter(ctx, me, other):
+                    log.append((me, other))
+            _C.__name__ = name
+            return _C
+
+        A, B = mk("A"), mk("B")
+        eng = Engine(make_config(
+            world_width=900.0, world_height=300.0,
+            spatial=dict(cell_size=50.0, max_neighbors=8),
+            logic=dict(collision_events=True, event_chunk=2),
+            physics=dict(gravity=(0.0, 0.0)),
+        ))
+        eng.register_entity_class(A, 4)
+        eng.register_entity_class(B, 4)
+        eng.init()
+        # two contacts, each an (A, B) pair at separate spots
+        a1 = eng.spawn("A", x=100.0, y=100.0)
+        b1 = eng.spawn("B", x=110.0, y=100.0)
+        a2 = eng.spawn("A", x=500.0, y=100.0)
+        b2 = eng.spawn("B", x=510.0, y=100.0)
+        eng.step(2)
+        eng.sync()
+        assert len(log) == 4
+        rows = [(min(m, o), max(m, o)) for m, o in log]
+        # adjacent entries are the two orientations of the SAME pair
+        assert rows[0] == rows[1] and rows[2] == rows[3]
+        assert rows[0] != rows[2]
+        assert log[0] == (log[1][1], log[1][0])
