@@ -162,13 +162,13 @@ def run_one(n: int, n_dev: int, scene: str = "balls",
     jax.device_get(world.step_count)
     per = (time.time() - t0) / steps
 
-    # analytic comms volume per device per step (buffer-entry bound;
-    # mirrors parallel/halo.py _cap_route)
+    # analytic comms volume per device per step (buffer-entry bound; the
+    # SAME formula the step uses — imported, so it cannot drift)
+    from multithreadedgameengine_tpu.parallel.halo import route_capacity
+
     n_loc = n_total // n_dev
     lanes = len(entity_leaf_specs(eng.world)) + 1  # +gid lane
-    cap_route = min(
-        max(((math.ceil(n_loc * oversub / n_dev) + 7) // 8) * 8, 8), n_loc
-    )
+    cap_route = route_capacity(n_loc, n_dev, oversub)
     a2a_bytes = 2 * 2 * n_dev * cap_route * max(lanes, 8) * 4  # A+B, out+back
     cfg = eng.config
     sp = cfg.spatial

@@ -217,6 +217,16 @@ def route_back(out_rows, sent_slot, n_dev, cap, axis):
     return got, sent_slot >= 0
 
 
+def route_capacity(n_loc: int, n_dev: int, oversub: float) -> int:
+    """Row slots per (source, destination) pair in the all_to_all routing
+    buffers: ``ceil(n_loc·oversub/n_dev)`` rounded up to 8, clamped to
+    [8, n_loc]. Shared by make_halo_step and the scaling benchmark's
+    analytic comms accounting (benchmarks/halo_scaling.py) so the reported
+    volumes cannot drift from what the program transfers."""
+    cap = math.ceil(n_loc * oversub / n_dev)
+    return int(min(max(((cap + 7) // 8) * 8, 8), n_loc))
+
+
 def _edge_perms(n_dev: int):
     down = [(i, i + 1) for i in range(n_dev - 1)]  # toward higher slabs
     up = [(i, i + 1 - 2) for i in range(1, n_dev)]  # toward lower slabs
@@ -535,12 +545,8 @@ def make_halo_step(engine, mesh: Mesh, oversub: float = 4.0,
         cell_size=solver_geom.cell_size, rows=rps, cols=C_s, capacity=cap_s
     )
 
-    def _cap_route(base: int) -> int:
-        cap = math.ceil(base * oversub / n_dev)
-        return int(min(max(((cap + 7) // 8) * 8, 8), base))
-
-    cap_a = _cap_route(n_loc)
-    cap_b = _cap_route(n_loc)
+    cap_a = route_capacity(n_loc, n_dev, oversub)
+    cap_b = route_capacity(n_loc, n_dev, oversub)
     down_perm, up_perm = _edge_perms(n_dev)
 
     inv_sp = 1.0 / sp.cell_size
