@@ -493,3 +493,28 @@ class TestHaloChunkedStep:
         assert int(np.asarray(m2["active_count"])[-1]) == int(
             np.asarray(m1["active_count"])
         )
+
+    def test_chunked_step_with_events(self):
+        """Collision events (device diff + prev-table barrier swap) work
+        inside the scanned chunk program, bit-exact vs per-step dispatch."""
+        eng1, eng2 = (
+            TestHaloEvents._engine(TestHaloEvents()),
+            TestHaloEvents._engine(TestHaloEvents()),
+        )
+        mesh = make_mesh(D, axis_name="slab")
+        K = 6
+        s1, p1 = make_halo_step(eng1, mesh)
+        w1 = p1(eng1.world)
+        ins = eng1.input.snapshot()
+        for _ in range(K):
+            w1, _m1 = s1(w1, ins)
+        w1 = jax.device_get(w1)
+        s2, p2 = make_halo_step(eng2, mesh, chunk_steps=K)
+        w2 = p2(eng2.world)
+        tl = jax.tree.map(lambda x: jnp.stack([x] * K), eng2.input.snapshot())
+        w2, _m2 = s2(w2, tl)
+        w2 = jax.device_get(w2)
+        np.testing.assert_array_equal(
+            np.asarray(w1.transform.x), np.asarray(w2.transform.x)
+        )
+        assert _event_rows(w1) == _event_rows(w2)
