@@ -673,3 +673,42 @@ class TestCrossClassHookOrder:
         assert rows[0] == rows[1] and rows[2] == rows[3]
         assert rows[0] != rows[2]
         assert log[0] == (log[1][1], log[1][0])
+
+
+class TestPlanBatchHooks:
+    def test_batch_hook_fires_through_frame_plan(self):
+        """FramePlan's logged-event dispatch routes through the same
+        batch-aware table firing as per-frame stepping."""
+        calls = []
+
+        class _PB(EntityClass):
+            components = [Collider]
+            uses_neighbors = False
+
+            @classmethod
+            def setup(cls, ctx):
+                return {"collider.radius": 10.0, "rigid_body.static": True,
+                        "collider.visual_range": 60.0}
+
+            @staticmethod
+            def on_collision_enter_batch(ctx, me, other):
+                calls.append((list(np.asarray(me)), list(np.asarray(other))))
+
+        eng = Engine(make_config(
+            world_width=500.0, world_height=500.0,
+            spatial=dict(cell_size=50.0, max_neighbors=8),
+            logic=dict(collision_events=True, event_chunk=4),
+            physics=dict(gravity=(0.0, 0.0)),
+        ))
+        eng.register_entity_class(_PB, 8)
+        eng.init()
+        eng.spawn("_PB", x=100.0, y=100.0)
+        eng.step(1, block=True)
+        plan = eng.begin_plan()
+        plan.spawn("_PB", x=110.0, y=100.0)  # contact appears mid-plan
+        for _ in range(3):
+            plan.next_frame()
+        eng.run_plan(plan)
+        assert len(calls) == 1  # one Enter frame -> one batch call
+        me, other = calls[0]
+        assert sorted(me) == sorted(other) and len(me) == 2
