@@ -27,7 +27,34 @@ CHUNKS = 4
 BASELINE_STEPS_PER_SEC = 60.0
 
 
+def _probe_backend(timeout_s: int = 420) -> None:
+    """Fail fast with an error JSON if the device backend cannot initialize
+    (the axon tunnel hangs indefinitely when its host-side relay is down,
+    which would otherwise hang the whole bench run). The probe runs in a
+    subprocess so a hung init is killable; its device ownership is released
+    before the real run starts."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; assert jax.devices()"],
+            timeout=timeout_s, check=True,
+            capture_output=True,
+        )
+    except Exception as e:
+        print(json.dumps({
+            "metric": "balls_10000_steps_per_sec",
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": 0.0,
+            "error": f"device backend unavailable: {type(e).__name__}",
+        }))
+        raise SystemExit(2)
+
+
 def main() -> None:
+    _probe_backend()
+
     import jax
 
     from multithreadedgameengine_tpu.utils.cache import enable_compile_cache
