@@ -116,3 +116,73 @@ class TestCheckpoint:
                                   world_width=1000.0, world_height=700.0)
         with pytest.raises(ValueError, match="different config"):
             other.load_checkpoint(path)
+
+    def test_roundtrip_preserves_decal_canvas_and_events(self, tmp_path):
+        """Every World leaf rides the checkpoint — including the stamped
+        decal canvas and the collision-event prev tables — so a resumed
+        engine continues bit-exact through the renderer-visible state."""
+        import jax.numpy as jnp
+        from multithreadedgameengine_tpu import (
+            Collider, Engine, EntityClass, RigidBody, SpriteRenderer,
+            make_config,
+        )
+
+        class _Drop(EntityClass):
+            components = [RigidBody, Collider, SpriteRenderer]
+            uses_neighbors = False
+            emit_cap = 2
+
+            @classmethod
+            def setup(cls, ctx):
+                return {"collider.radius": 6.0, "collider.visual_range": 40.0}
+
+            @staticmethod
+            def tick(ctx):
+                return {"emit": {
+                    "count": jnp.int32(2), "vx": jnp.asarray([1.0, -1.0]),
+                    "z": -2.0, "vz": 1.0, "gravity": 0.3,
+                    "lifespan": 8000.0, "scale": 0.4,
+                    "texture_id": jnp.int32(1),
+                    "stay_on_the_floor": True,
+                }}
+
+        def build():
+            eng = Engine(make_config(
+                world_width=800.0, world_height=600.0, seed=5,
+                spatial=dict(cell_size=50.0, max_neighbors=8),
+                physics=dict(gravity=(0.0, 0.0)),
+                logic=dict(collision_events=True),
+                particle=dict(max_particles=64, decals=True,
+                              decals_tile_size=200.0,
+                              decals_resolution=0.25),
+            ))
+            eng.register_entity_class(_Drop, 16)
+            eng.init()
+            for k in range(8):
+                eng.spawn("_Drop", x=100.0 + 60.0 * k, y=200.0)
+            return eng
+
+        path = str(tmp_path / "ckpt_decals.npz")
+        eng = build()
+        eng.step(8)  # particles land + stamp; contacts recorded
+        eng.sync()
+        assert np.asarray(eng.snapshot().decal_canvas).any()
+        eng.save_checkpoint(path)
+        eng.step(6)
+        after = eng.snapshot()
+
+        eng2 = build()
+        eng2.load_checkpoint(path)
+        eng2.step(6)
+        again = eng2.snapshot()
+        np.testing.assert_array_equal(
+            np.asarray(after.decal_canvas), np.asarray(again.decal_canvas)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(after.particles.active),
+            np.asarray(again.particles.active),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(after.prev_collision_pairs),
+            np.asarray(again.prev_collision_pairs),
+        )
