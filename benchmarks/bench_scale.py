@@ -6,6 +6,13 @@ Writes one JSON line per size to stdout.
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+
+# repo-root bootstrap: these harnesses run as scripts (and as rung
+# subprocesses) where sys.path[0] is benchmarks/, not the repo root
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import json
 import sys
 import time

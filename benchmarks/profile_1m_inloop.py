@@ -8,6 +8,13 @@ Usage: python benchmarks/profile_1m_inloop.py [n_balls] [K]
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+
+# repo-root bootstrap: these harnesses run as scripts (and as rung
+# subprocesses) where sys.path[0] is benchmarks/, not the repo root
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+
 import json
 import sys
 import time
