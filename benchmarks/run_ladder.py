@@ -53,9 +53,26 @@ def rung_balls(n_balls: int, chunk: int = 20) -> dict:
     from multithreadedgameengine_tpu.models.balls import make_balls_engine
 
     scale = (n_balls / 10_000) ** 0.5
+    over = {}
+    if n_balls >= 1_000_000:
+        # scene-tuned solver knobs, as the reference demos hand-tune cellSize/
+        # maxNeighbors per scene (demos/balls/index.html:100-140):
+        #  - solver_capacity 12: the measured settled-pile occupancy histogram
+        #    tops out at 11 with ZERO drops at cap 12 (profile_1m_inloop.py,
+        #    BENCH notes) — pair work and layout memory scale with capacity;
+        #  - rebin_interval 2: amortizes the 1M binning sort over two frames
+        #    with the reference's own one-frame-stale candidate semantics
+        #    (physics_worker.js:379-383). Values are the demo's own physics
+        #    section (balls_config) — section overrides replace wholesale.
+        over["physics"] = dict(
+            sub_step_count=2, max_collision_pairs=1, verlet_damping=0.99,
+            boundary_elasticity=0.0, collision_response_strength=0.8,
+            gravity=(0.0, 0.5), solver_capacity=12, rebin_interval=2,
+        )
     eng = make_balls_engine(
         n_balls=n_balls, seed=123456,
         world_width=9000.0 * scale, world_height=4000.0 * scale,
+        **over,
     )
     t0 = time.time()
     eng.step(5, block=True)

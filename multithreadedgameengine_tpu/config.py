@@ -85,6 +85,17 @@ class PhysicsConfig:
     # cap — entities beyond a cell's capacity degrade to boundary-only for
     # the frame and show in the `solver_overflow` metric.
     solver_capacity: int = 0
+    # Rebin the grid solver every k-th frame instead of every frame (1 =
+    # every frame). Between rebins, entities keep their cell/slot from the
+    # last binning while positions stay current — the same one-frame-stale
+    # candidate semantics the reference ships (its physics worker consumes
+    # neighbor lists the spatial worker built on ITS previous frame, an
+    # accepted race: physics_worker.js:379-383). Fast movers can miss pairs
+    # for up to k-1 frames (the reference misses them for 1); entities
+    # spawned between rebins degrade to boundary-only until the next rebin
+    # (visible in `solver_overflow`). Saves the per-frame binning sort at
+    # large N (the #2 cost of the 1M-entity step).
+    rebin_interval: int = 1
 
     def validated(self) -> "PhysicsConfig":
         """Mirror of validatePhysicsConfig (utils.js:269-301), plus the
@@ -110,6 +121,7 @@ class PhysicsConfig:
             collision_response_strength=_clamp01(self.collision_response_strength),
             verlet_damping=_clamp01(self.verlet_damping),
             solver_capacity=max(0, int(self.solver_capacity)),
+            rebin_interval=max(1, int(self.rebin_interval)),
         )
 
 

@@ -461,6 +461,15 @@ class Engine:
             n_shadow_sprites=n_shadows,
             event_tables=self.config.logic.collision_events,
         )
+        # grid-solver bin cache (physics.rebin_interval, config.py docs):
+        # installed at init so the world treedef — and therefore checkpoint
+        # layouts — is fixed before the first step; stamp -1 = never binned
+        if self.config.physics.rebin_interval > 1:
+            self.world = self.world.replace(
+                solver_flat=jnp.zeros((n,), jnp.int32),
+                solver_in_grid=jnp.zeros((n,), jnp.bool_),
+                solver_bin_step=jnp.int32(-1),
+            )
         # pre-initialize entityType for every slot, active or not
         # (preInitializeEntityTypeArrays, gameEngine.js:778-791)
         et = np.zeros((n,), np.int32)
@@ -1077,6 +1086,11 @@ class Engine:
 
     def _build_step(self):
         cfg = self._resolve_spatial()
+        # grid-solver bin cache (physics.rebin_interval, config.py docs):
+        # reset the stamp to -1 on every rebuild so a solver/geometry change
+        # forces a fresh rebin (cached flat slots encode the OLD layout)
+        if cfg.physics.rebin_interval > 1 and self.world.solver_flat is not None:
+            self.world = self.world.replace(solver_bin_step=jnp.int32(-1))
         type_ranges = tuple(
             (reg.cls, reg.start_index, reg.count)
             for reg in self.classes.values()

@@ -323,6 +323,38 @@ def resident_tile_rows(cap: int, cols_pad: int) -> int:
     return 8
 
 
+def _cached_bins(world: World, cfg: EngineConfig, compute):
+    """Bin-cache gate for ``physics.rebin_interval > 1`` (config.py docs):
+    recompute (flat slot, in-grid mask) on the first frame and every k-th
+    frame after; reuse the cached assignment in between, exactly like the
+    reference's physics worker consuming the spatial worker's previous-frame
+    grid (physics_worker.js:379-383). Positions scattered into the (possibly
+    stale) slots are always CURRENT, so recorded overlaps use true distances;
+    staleness can only miss pairs for cell-crossers, never invent them.
+
+    Returns (world', flat, in_grid). No-op (always compute) when the engine
+    did not install the cache arrays."""
+    interval = max(1, cfg.physics.rebin_interval)
+    if interval == 1 or world.solver_flat is None:
+        flat, in_grid = compute()
+        return world, flat, in_grid
+    fresh_for = world.step_count - world.solver_bin_step
+    rebin = (world.solver_bin_step < 0) | (fresh_for >= interval)
+    flat, in_grid = jax.lax.cond(
+        rebin,
+        compute,
+        lambda: (world.solver_flat, world.solver_in_grid),
+    )
+    world = world.replace(
+        solver_flat=flat,
+        solver_in_grid=in_grid,
+        solver_bin_step=jnp.where(
+            rebin, world.step_count, world.solver_bin_step
+        ).astype(jnp.int32),
+    )
+    return world, flat, in_grid
+
+
 def grid_constraints_resident(
     world: World,
     cfg: EngineConfig,
@@ -359,14 +391,19 @@ def grid_constraints_resident(
 
     finite = jnp.isfinite(t.x) & jnp.isfinite(t.y)
     valid = t.active & finite
-    bins = bin_entities(t.x, t.y, valid, geom, build_table=False)
 
-    in_grid = valid & (bins.rank < cap)
-    # clamp rank BEFORE the slot product: overflow ranks can reach N and the
-    # (rank * rows_buf * cp) product would wrap int32; masked to `total` after
-    rank_safe = jnp.where(in_grid, bins.rank, 0)
-    flat = (rank_safe * rows_buf + (HALO + bins.row)) * cp + (1 + bins.col)
-    flat = jnp.where(in_grid, flat, total)  # OOB -> dropped
+    def _compute_bins():
+        bins = bin_entities(t.x, t.y, valid, geom, build_table=False)
+        in_grid = valid & (bins.rank < cap)
+        # clamp rank BEFORE the slot product: overflow ranks can reach N and
+        # the (rank * rows_buf * cp) product would wrap int32; masked to
+        # `total` after
+        rank_safe = jnp.where(in_grid, bins.rank, 0)
+        flat = (rank_safe * rows_buf + (HALO + bins.row)) * cp + (1 + bins.col)
+        return jnp.where(in_grid, flat, total), in_grid  # OOB -> dropped
+
+    world, flat, in_grid = _cached_bins(world, cfg, _compute_bins)
+    t, rb = world.transform, world.rigid_body  # rebind post-replace
 
     # per-field scatters build the layout (measured: a gather-based build —
     # one meta scatter + [total]-index gathers through the ids — costs 605
@@ -436,9 +473,18 @@ def grid_constraints_resident(
             cnt + jnp.pad(c_, pad),
         )
 
-    gx, gy, gpx, gpy, g_count = jax.lax.fori_loop(
-        0, ph.sub_step_count, substep, (gx, gy, gpx, gpy, meta * 0)
-    )
+    # STATIC UNROLL: sub_step_count is a small static (2 in the balls demo).
+    # A fori_loop here materializes the 5-array layout carry on entry
+    # (measured 14.9 ms at 1M — benchmarks/profile_solver_parts.py: first
+    # substep 26.8 ms vs 11.9 for the second); unrolling lets XLA fuse the
+    # NaN-carry inits and count zeros into the substep bodies instead.
+    carry = (gx, gy, gpx, gpy, meta * 0)
+    if ph.sub_step_count <= 8:
+        for k in range(ph.sub_step_count):
+            carry = substep(k, carry)
+    else:
+        carry = jax.lax.fori_loop(0, ph.sub_step_count, substep, carry)
+    gx, gy, gpx, gpy, g_count = carry
 
     # read back: one channel-stacked row gather. Measured at 1M on v5e:
     # 5 per-field [1M]-index gathers cost ~28 ms MORE than stacking
@@ -495,7 +541,16 @@ def grid_constraints(
 
     finite = jnp.isfinite(t.x) & jnp.isfinite(t.y)
     valid = t.active & finite
-    bins = bin_entities(t.x, t.y, valid, geom, build_table=False)
+    flat_cells = (R + 2) * (C + 2) * cap
+
+    def _compute_bins():
+        bins = bin_entities(t.x, t.y, valid, geom, build_table=False)
+        idx = ((bins.row + 1) * (C + 2) + (bins.col + 1)) * cap + bins.rank
+        in_grid = valid & (bins.rank < cap)
+        return jnp.where(in_grid, idx, flat_cells), in_grid  # OOB -> dropped
+
+    world, flat_idx, in_grid = _cached_bins(world, cfg, _compute_bins)
+    t, rb = world.transform, world.rigid_body
 
     # --- SCATTER entity attributes into grid layout, ONCE per frame ---
     # One [N, 8]-row scatter instead of per-field gathers: on TPU, gather/
@@ -505,10 +560,6 @@ def grid_constraints(
     # [R+2, C+2, cap(, 8)]: a one-cell border of empty cells so every 3x3
     # shift is a static slice.
     packed = pack_solver_rows(world)
-    flat_cells = (R + 2) * (C + 2) * cap
-    flat_idx = ((bins.row + 1) * (C + 2) + (bins.col + 1)) * cap + bins.rank
-    in_grid = valid & (bins.rank < cap)
-    flat_idx = jnp.where(in_grid, flat_idx, flat_cells)  # OOB -> dropped
     grid = scatter_solver_grid(packed, flat_idx, R, C, cap)
 
     gx, gy, gpx, gpy, g_count = run_solver_substeps(

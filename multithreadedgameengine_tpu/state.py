@@ -80,6 +80,15 @@ class World:
     decal_dirty: jnp.ndarray  # bool[tiles_y, tiles_x]
     # shadow-sprite output buffer ([0]-sized when shadows are disabled)
     shadow_sprites: ShadowSprites
+    # grid-solver bin cache (physics.rebin_interval > 1 only; None otherwise
+    # — None leaves vanish from the pytree so default-config programs are
+    # untouched). ``solver_flat`` is each entity's flat slot in the resident
+    # solver layout as of the last rebin, ``solver_in_grid`` the matching
+    # in-capacity mask, ``solver_bin_step`` the step_count at which they were
+    # computed (-1 = never → first frame rebins). See ops/physics_grid.py.
+    solver_flat: Optional[jnp.ndarray] = None  # int32[N]
+    solver_in_grid: Optional[jnp.ndarray] = None  # bool[N]
+    solver_bin_step: Optional[jnp.ndarray] = None  # int32 scalar
 
     @property
     def n_entities(self) -> int:

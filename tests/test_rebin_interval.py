@@ -1,0 +1,140 @@
+"""physics.rebin_interval — the grid solver's bin cache (config.py docs).
+
+Between rebins the solver reuses the last binning's (cell, slot) assignment
+while positions stay current — the reference's own one-frame-stale candidate
+semantics (its physics worker consumes neighbor lists the spatial worker
+built on ITS previous frame, physics_worker.js:379-383). These tests pin:
+
+ - wiring: while no entity crosses a solver cell, interval>1 is EXACTLY
+   interval=1 (stale bins == fresh bins), via single-step and chunked paths;
+ - staleness: an entity spawned between rebins is invisible to the pair pass
+   (boundary-only degradation) until the next rebin picks it up;
+ - persistence: the cache arrays ride checkpoints.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from multithreadedgameengine_tpu import (
+    Collider,
+    Engine,
+    EntityClass,
+    RigidBody,
+    SpriteRenderer,
+    make_config,
+)
+
+
+class Disc(EntityClass):
+    """Fixed-radius circle with no tick — pure solver dynamics."""
+
+    components = [RigidBody, Collider, SpriteRenderer]
+    uses_neighbors = False
+
+    @classmethod
+    def setup(cls, ctx):
+        return {"collider.radius": 10.0, "rigid_body.max_vel": 50.0}
+
+
+def disc_engine(interval: int, solver: str = "grid") -> Engine:
+    cfg = make_config(
+        world_width=400.0,
+        world_height=300.0,
+        spatial=dict(cell_size=50.0, max_neighbors=16),
+        physics=dict(
+            gravity=(0.0, 0.0),
+            sub_step_count=2,
+            solver=solver,
+            rebin_interval=interval,
+            boundary_elasticity=0.0,
+        ),
+    )
+    eng = Engine(cfg)
+    eng.register_entity_class(Disc, 8)
+    eng.init()
+    return eng
+
+
+def spawn_pair(eng):
+    # overlapping pair mid-cell: depth 1.5 at radius 10 separates ~0.75 px /
+    # frame / side — several frames of motion without any solver-cell
+    # (25 px) crossing, so stale bins stay correct. Returns (left, right)
+    # slot indices (the interleave-8 LIFO pool hands out high slots first).
+    a = eng.spawn("Disc", x=110.0, y=75.0)
+    b = eng.spawn("Disc", x=128.5, y=75.0)
+    return a, b
+
+
+def positions(eng):
+    s = eng.snapshot()
+    return np.stack([np.asarray(s.transform.x), np.asarray(s.transform.y)], 1)
+
+
+@pytest.mark.parametrize("solver", ["grid", "pallas"])
+def test_interval_matches_fresh_binning_until_crossing(solver):
+    eng1 = disc_engine(1, solver)
+    eng3 = disc_engine(3, solver)
+    a, b = spawn_pair(eng1)
+    spawn_pair(eng3)
+    for _ in range(6):
+        eng1.step(block=True)
+        eng3.step(block=True)
+        np.testing.assert_array_equal(positions(eng1), positions(eng3))
+    # the pair actually moved (the solver ran) …
+    assert positions(eng1)[a, 0] < 110.0 and positions(eng1)[b, 0] > 128.5
+    # … and the cache was genuinely reused: rebins at steps 0 and 3 only
+    assert int(jax.device_get(eng3.world.solver_bin_step)) == 3
+
+
+def test_chunked_and_single_stepping_share_the_cache():
+    a = disc_engine(3)
+    b = disc_engine(3)
+    spawn_pair(a)
+    spawn_pair(b)
+    for _ in range(6):
+        a.step(block=True)
+    b.step(6, block=True)  # one fori_loop dispatch carrying the cache
+    np.testing.assert_array_equal(positions(a), positions(b))
+    assert int(jax.device_get(b.world.solver_bin_step)) == 3
+
+
+def test_spawn_between_rebins_waits_for_next_rebin():
+    eng = disc_engine(5)
+    ia = eng.spawn("Disc", x=110.0, y=75.0)
+    eng.step(block=True)  # step 0: rebin with A alone
+    ib = eng.spawn("Disc", x=118.0, y=75.0)  # deep overlap, stale bins miss it
+
+    def gap():
+        p = positions(eng)
+        return float(np.hypot(*(p[ib] - p[ia])))
+
+    g0 = gap()
+    for _ in range(4):  # steps 1-4 reuse step-0 bins: B is boundary-only
+        eng.step(block=True)
+        assert gap() == pytest.approx(g0)
+    over = int(eng.metrics["solver_overflow"])
+    assert over >= 1  # B surfaced as degraded, not silently parked
+    eng.step(block=True)  # step 5: rebin — the overlap finally resolves
+    assert gap() > g0
+
+
+def test_checkpoint_roundtrip_carries_bin_cache(tmp_path):
+    from multithreadedgameengine_tpu.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    a = disc_engine(4)
+    spawn_pair(a)
+    a.step(2, block=True)
+    path = str(tmp_path / "rebin.npz")
+    save_checkpoint(a, path)
+
+    b = disc_engine(4)
+    spawn_pair(b)
+    load_checkpoint(b, path)
+    assert int(jax.device_get(b.world.solver_bin_step)) == 0
+    a.step(3, block=True)
+    b.step(3, block=True)
+    np.testing.assert_array_equal(positions(a), positions(b))
