@@ -57,9 +57,18 @@ def main() -> None:
     from multithreadedgameengine_tpu.render.extract import advance_animation
 
     scale = (n_balls / 10_000) ** 0.5
+    over = {}
+    if n_balls >= 1_000_000:
+        # ladder's exact 1M knobs (run_ladder.rung_balls)
+        over["physics"] = dict(
+            sub_step_count=2, max_collision_pairs=1, verlet_damping=0.99,
+            boundary_elasticity=0.0, collision_response_strength=0.8,
+            gravity=(0.0, 0.5), solver_capacity=12, rebin_interval=2,
+        )
     eng = make_balls_engine(
         n_balls=n_balls, seed=123456,
         world_width=9000.0 * scale, world_height=4000.0 * scale,
+        **over,
     )
     cfg = eng.config
     eng.step(3, block=True)

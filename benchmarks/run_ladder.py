@@ -128,10 +128,13 @@ def rung_churn(
     run_frames(plan_chunk)
     run_frames(plan_chunk)
     eng.sync()
-    t0 = time.time()
-    run_frames(frames)
-    eng.sync()
-    per = (time.time() - t0) / frames
+    # best-of-3 (see rung_predators note on axon dispatch jitter)
+    per = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        run_frames(frames)
+        eng.sync()
+        per = min(per, (time.time() - t0) / frames)
     stats = eng.get_pool_stats("Ball")
     assert stats["active"] == n_balls  # churn conserves population
     return {
@@ -195,10 +198,15 @@ def rung_predators(
     # Enter/Stay/Exit dispatched — blood bursts included)
     eng.step(event_chunk if events else 5)
     eng.sync()
-    t0 = time.time()
-    eng.step(frames)
-    eng.sync()
-    per = (time.time() - t0) / frames
+    # best-of-3 like bench.py / bench_predators.py: single-shot timings on
+    # the axon backend carry multi-ms dispatch jitter (BENCH_LADDER_r03c
+    # notes measured the churn rung varying 200 -> 313 steps/s run-to-run)
+    per = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        eng.step(frames)
+        eng.sync()
+        per = min(per, (time.time() - t0) / frames)
     act = np.asarray(eng.snapshot().transform.active)
     return {
         "metric": f"predators_{n_prey}_{'events' if events else 'noevents'}_steps_per_sec",
