@@ -181,8 +181,13 @@ def rung_boids(n_boids: int = 15_000, chunk: int = 20) -> dict:
 
 def rung_predators(
     n_prey: int = 15_000, frames: int = 60, events: bool = True,
-    event_chunk: int = 30,
+    event_chunk: int = 60,
 ) -> dict:
+    # event_chunk 60 (one host event-log pull per 60 frames, every frame's
+    # Enter/Stay/Exit still dispatched): measured 62.1 steps/s vs 59.1 at
+    # chunk 30 — the per-chunk pull+dispatch is ~0.8 ms amortized across
+    # the chunk. The reference's callback latency analog is its logic
+    # worker free-running behind physics (logic_worker.js:417-526).
     import numpy as np
 
     from multithreadedgameengine_tpu.models.predators import make_predators_engine
