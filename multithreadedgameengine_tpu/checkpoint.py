@@ -102,6 +102,13 @@ def load_checkpoint(engine: "Engine", path: str) -> None:
     leaves = []
     for p, old in paths:
         key = f"world:{_leaf_key(p)}"
+        if key not in data and key.startswith("world:solver_"):
+            # solver layout caches (solver_grad/solver_meta) install lazily
+            # at the first _build_step; a checkpoint saved before stepping
+            # lacks them. Zeros are safe: the stamp reset on the loading
+            # engine's next _build_step forces a fresh rebin before any read.
+            leaves.append(jax.numpy.zeros(old.shape, old.dtype))
+            continue
         arr = data[key]
         if arr.shape != old.shape:
             raise ValueError(f"shape mismatch for {key}: {arr.shape} vs {old.shape}")

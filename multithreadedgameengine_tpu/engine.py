@@ -1117,6 +1117,26 @@ class Engine:
         if use_grid_solver:
             cfg, solver_geom, forced = self._solver_plan(cfg)
             need_neighbors = need_neighbors or forced
+            # static-attribute layout cache (state.World.solver_grad docs):
+            # install/resize at the CURRENT layout shape so the resident
+            # solver's rebin cond can carry the radius/meta layouts; zeros +
+            # stamp -1 (reset above) force a fresh rebin first frame
+            if (
+                cfg.physics.rebin_interval > 1
+                and cfg.physics.solver == "pallas"
+                and self.world.solver_flat is not None
+            ):
+                from .ops.physics_grid import resident_layout_shape
+
+                shape = resident_layout_shape(solver_geom)
+                if (
+                    self.world.solver_grad is None
+                    or self.world.solver_grad.shape != shape
+                ):
+                    self.world = self.world.replace(
+                        solver_grad=jnp.zeros(shape, jnp.float32),
+                        solver_meta=jnp.zeros(shape, jnp.int32),
+                    )
 
         n = self.world.n_entities
         write_inputs = apply_inputs

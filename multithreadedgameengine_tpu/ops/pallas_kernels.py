@@ -166,17 +166,255 @@ def _resident_kernel_sym(
     xt_ref, yt_ref, rt_ref, mt_ref,
     xr_ref, yr_ref, rr_ref, mr_ref,
     ax_ref, ay_ref, ac_ref, sx_ref, sy_ref, sc_ref,
+    occ_ctr_ref, occ_halo_ref, bx_ref, by_ref, bc_ref,
     sems,
     *, tr: int, cap: int, strength: float,
 ):
-    _resident_body(
+    _resident_body_pred(
         salt_ref, x_ref, y_ref, r_ref, m_ref,
         newx_out, newy_out, cnt_out, sx_out, sy_out, sc_out,
         xt_ref, yt_ref, rt_ref, mt_ref,
         xr_ref, yr_ref, rr_ref, mr_ref,
         ax_ref, ay_ref, ac_ref, sx_ref, sy_ref, sc_ref,
-        sems, tr=tr, cap=cap, strength=strength, symmetric=True,
+        occ_ctr_ref, occ_halo_ref, bx_ref, by_ref, bc_ref,
+        sems, tr=tr, cap=cap, strength=strength,
     )
+
+
+def _resident_body_pred(
+    salt_ref,  # SMEM (1,) uint32
+    x_ref, y_ref, r_ref, m_ref,  # ANY (HBM), slot-major [cap, rows_buf, Cp]
+    newx_out, newy_out, cnt_out,  # VMEM blocks [cap, TR, Cp]
+    sx_out, sy_out, sc_out,  # spill row [1, cap, 8, Cp]
+    xt_ref, yt_ref, rt_ref, mt_ref,  # scratch [cap, TR+2H, Cp] (DMA dst)
+    xr_ref, yr_ref, rr_ref, mr_ref,  # scratch: rolled per offset
+    ax_ref, ay_ref, ac_ref,  # scratch accumulators [cap, TR, Cp]
+    sx_ref, sy_ref, sc_ref,  # spill accumulators [cap, 8, Cp]
+    occ_ctr_ref, occ_halo_ref,  # SMEM (cap,) per-plane occupancy flags
+    bx_ref, by_ref, bc_ref,  # scratch back-sums [TR, Cp]
+    sems,
+    *, tr: int, cap: int, strength: float,
+):
+    """Occupancy-PREDICATED Newton-symmetric pair pass — the production
+    resident kernel (``symmetric=True``).
+
+    Same pair math and same accumulation targets as `_resident_body`'s
+    symmetric path, restructured so pair-block volume tracks OCCUPANCY
+    instead of capacity²: the (offset, j) x all-i-planes block op becomes an
+    (offset, j, i) scalar loop whose body is one [TR, Cp] plane-pair, with
+    per-plane skip flags precomputed once per tile into SMEM —
+    ``occ_ctr[i]`` (any collider in the i-plane's CENTER rows: the i side
+    masks to center, so an empty center plane contributes nothing) and
+    ``occ_halo[j]`` (any collider anywhere in the j-plane's halo tile: the
+    rolled j window is a row/lane permutation of it). Cells fill slots
+    rank-ascending, so at the 1M benchmark's measured occupancy (mean 1.9,
+    ~7 of 12 planes live per tile — benchmarks/probe_tile_occupancy.py) the
+    processed volume drops to (7/12)^2 of the dense enumeration, and a
+    skipped plane's contribution is EXACTLY zero (push * overlap == 0
+    elementwise), so predication does not perturb the values.
+
+    Numerics vs `_resident_body(symmetric=True)`: per-pair values and each
+    acc plane's (offset, j) addition order are identical; only the i-sum
+    feeding the j-side back-accumulation becomes a sequential loop-carried
+    sum (was one XLA reduce), so positions may differ by float rounding —
+    within the same ~1e-5 envelope as symmetric-vs-two-sided, with int32
+    contact counts still exact (tests/test_pallas.py)."""
+    i_t = pl.program_id(0)
+    row0 = i_t * tr  # aligned: tr % 8 == 0
+
+    copies = [
+        pltpu.make_async_copy(src.at[:, pl.ds(row0, tr + 2 * HALO)], dst, sems.at[k])
+        for k, (src, dst) in enumerate([
+            (x_ref, xt_ref), (y_ref, yt_ref), (r_ref, rt_ref), (m_ref, mt_ref),
+        ])
+    ]
+    for cp_ in copies:
+        cp_.start()
+    for cp_ in copies:
+        cp_.wait()
+
+    ctr = slice(HALO, HALO + tr)
+    any_self = jnp.any(((mt_ref[:, ctr, :] >> 24) & 1) == 1)
+
+    @pl.when(jnp.logical_not(any_self))
+    def _():
+        newx_out[...] = xt_ref[:, ctr, :]
+        newy_out[...] = yt_ref[:, ctr, :]
+        cnt_out[...] = jnp.zeros(newx_out.shape, jnp.int32)
+        sx_out[...] = jnp.zeros(sx_out.shape, jnp.float32)
+        sy_out[...] = jnp.zeros(sy_out.shape, jnp.float32)
+        sc_out[...] = jnp.zeros(sc_out.shape, jnp.int32)
+
+    @pl.when(any_self)
+    def _():
+        salt = salt_ref[0]
+
+        def occ_body(k, _):
+            mk = mt_ref[pl.ds(k, 1), :, :]
+            occ_halo_ref[k] = jnp.any(((mk >> 24) & 1) == 1).astype(jnp.int32)
+            mkc = mt_ref[pl.ds(k, 1), ctr, :]
+            occ_ctr_ref[k] = jnp.any(((mkc >> 24) & 1) == 1).astype(jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, cap, occ_body, 0)
+
+        ax_ref[...] = jnp.zeros(ax_ref.shape, jnp.float32)
+        ay_ref[...] = jnp.zeros(ay_ref.shape, jnp.float32)
+        ac_ref[...] = jnp.zeros(ac_ref.shape, jnp.int32)
+        sx_ref[...] = jnp.zeros(sx_ref.shape, jnp.float32)
+        sy_ref[...] = jnp.zeros(sy_ref.shape, jnp.float32)
+        sc_ref[...] = jnp.zeros(sc_ref.shape, jnp.int32)
+
+        # incremental roll plan (see _resident_body)
+        offsets = (
+            ((0, 0), None, 0, 0),
+            ((0, 1), "base", 0, 1),
+            ((1, 0), "base", 1, 0),
+            ((1, 1), "prev", 0, 1),
+            ((1, -1), "prev", 0, -2),
+        )
+        for (dr, dc), src, sdr, sdc in offsets:
+            if src == "base":
+                xr_ref[...] = _roll2(xt_ref[...], sdr, sdc)
+                yr_ref[...] = _roll2(yt_ref[...], sdr, sdc)
+                rr_ref[...] = _roll2(rt_ref[...], sdr, sdc)
+                mr_ref[...] = _roll2(mt_ref[...], sdr, sdc)
+                xj, yj, rj, mj = xr_ref, yr_ref, rr_ref, mr_ref
+            elif src == "prev":
+                xr_ref[...] = _roll2(xr_ref[...], sdr, sdc)
+                yr_ref[...] = _roll2(yr_ref[...], sdr, sdc)
+                rr_ref[...] = _roll2(rr_ref[...], sdr, sdc)
+                mr_ref[...] = _roll2(mr_ref[...], sdr, sdc)
+                xj, yj, rj, mj = xr_ref, yr_ref, rr_ref, mr_ref
+            else:
+                xj, yj, rj, mj = xt_ref, yt_ref, rt_ref, mt_ref
+            back = bool(dr or dc)
+
+            def j_body(j, _, xj=xj, yj=yj, rj=rj, mj=mj, dr=dr, dc=dc,
+                       back=back):
+                @pl.when(occ_halo_ref[j] != 0)
+                def _():
+                    sl = (pl.ds(j, 1), ctr, slice(None))
+                    mjs = mj[sl]
+                    xb = xj[sl]
+                    yb = yj[sl]
+                    rb_ = rj[sl]
+                    pkb = mjs >> 24
+                    idb = mjs & jnp.int32(0xFFFFFF)
+                    okb = (pkb & 1) == 1
+                    trig_b = (pkb & 2) != 0
+                    st_j = (pkb & 4) != 0
+                    if back:
+                        bx_ref[...] = jnp.zeros(bx_ref.shape, jnp.float32)
+                        by_ref[...] = jnp.zeros(by_ref.shape, jnp.float32)
+                        bc_ref[...] = jnp.zeros(bc_ref.shape, jnp.int32)
+
+                    def i_body(ii, _):
+                        @pl.when(occ_ctr_ref[ii] != 0)
+                        def _():
+                            isl = (pl.ds(ii, 1), ctr, slice(None))
+                            m_i = mt_ref[isl]
+                            pk_i = m_i >> 24
+                            id_i = m_i & jnp.int32(0xFFFFFF)
+                            ok_i = (pk_i & 1) == 1
+                            trig_i = (pk_i & 2) != 0
+                            st_i = (pk_i & 4) != 0
+                            xs = xt_ref[isl]
+                            ys = yt_ref[isl]
+                            rs = rt_ref[isl]
+
+                            ok = ok_i & okb & (id_i != idb)
+                            dx = xs - xb
+                            dy = ys - yb
+                            d2 = dx * dx + dy * dy
+                            min_d = rs + rb_
+                            overlap = ok & (d2 < min_d * min_d)
+
+                            trig = trig_i | trig_b
+                            share = jnp.where(
+                                trig | st_i, 0.0, jnp.where(st_j, 1.0, 0.5)
+                            )
+                            inv_dist = jnp.where(d2 > 0, jax.lax.rsqrt(d2), 0.0)
+                            dist = d2 * inv_dist
+                            corr = (min_d - dist) * strength * share
+                            ov = overlap.astype(jnp.float32)
+                            zero = d2 == 0
+                            any_zero = jnp.any(zero & ok)
+
+                            if back:
+                                share_j = jnp.where(
+                                    trig | st_j, 0.0, jnp.where(st_i, 1.0, 0.5)
+                                )
+                                corr_j = (min_d - dist) * strength * share_j
+
+                            asl = (pl.ds(ii, 1), slice(None), slice(None))
+
+                            @pl.when(jnp.logical_not(any_zero))
+                            def _():
+                                ax_ref[asl] += dx * inv_dist * corr * ov
+                                ay_ref[asl] += dy * inv_dist * corr * ov
+                                if back:
+                                    bx_ref[...] += (-(dx * inv_dist * corr_j) * ov)[0]
+                                    by_ref[...] += (-(dy * inv_dist * corr_j) * ov)[0]
+                                    bc_ref[...] += overlap.astype(jnp.int32)[0]
+
+                            @pl.when(any_zero)
+                            def _():
+                                ux, uy = _pair_hash_dir(id_i, idb, salt)
+                                sign = jnp.where(id_i < idb, 1.0, -1.0)
+                                zmag = jnp.where(
+                                    trig | st_i, 0.0, jnp.where(st_j, 2.0, 1.0)
+                                )
+                                zshare = zmag * sign * jnp.float32(0.001)
+                                push_x = jnp.where(
+                                    zero, ux * zshare, dx * inv_dist * corr
+                                )
+                                push_y = jnp.where(
+                                    zero, uy * zshare, dy * inv_dist * corr
+                                )
+                                ax_ref[asl] += push_x * ov
+                                ay_ref[asl] += push_y * ov
+                                if back:
+                                    zmag_j = jnp.where(
+                                        trig | st_j, 0.0,
+                                        jnp.where(st_i, 2.0, 1.0),
+                                    )
+                                    zshare_j = zmag_j * (-sign) * jnp.float32(0.001)
+                                    bxv = jnp.where(
+                                        zero, ux * zshare_j,
+                                        -(dx * inv_dist * corr_j),
+                                    )
+                                    byv = jnp.where(
+                                        zero, uy * zshare_j,
+                                        -(dy * inv_dist * corr_j),
+                                    )
+                                    bx_ref[...] += (bxv * ov)[0]
+                                    by_ref[...] += (byv * ov)[0]
+                                    bc_ref[...] += overlap.astype(jnp.int32)[0]
+
+                            ac_ref[asl] += overlap.astype(jnp.int32)
+
+                        return 0
+
+                    jax.lax.fori_loop(0, cap, i_body, 0)
+                    if back:
+                        _acc_back(
+                            bx_ref[...], by_ref[...], bc_ref[...],
+                            j, dr, dc,
+                            ax_ref, ay_ref, ac_ref,
+                            sx_ref, sy_ref, sc_ref,
+                        )
+
+                return 0
+
+            jax.lax.fori_loop(0, cap, j_body, 0)
+
+        newx_out[...] = xt_ref[:, ctr, :] + ax_ref[...]
+        newy_out[...] = yt_ref[:, ctr, :] + ay_ref[...]
+        cnt_out[...] = ac_ref[...]
+        sx_out[0] = sx_ref[...]
+        sy_out[0] = sy_ref[...]
+        sc_out[0] = sc_ref[...]
 
 
 def _resident_body(
@@ -510,6 +748,11 @@ def pair_pass_resident(
             pltpu.VMEM((cap, 8, cp), jnp.float32),  # spill dx
             pltpu.VMEM((cap, 8, cp), jnp.float32),  # spill dy
             pltpu.VMEM((cap, 8, cp), jnp.int32),  # spill count
+            pltpu.SMEM((cap,), jnp.int32),  # occ_ctr (per-plane i-side flag)
+            pltpu.SMEM((cap,), jnp.int32),  # occ_halo (per-plane j-side flag)
+            pltpu.VMEM((tr, cp), jnp.float32),  # back-sum dx
+            pltpu.VMEM((tr, cp), jnp.float32),  # back-sum dy
+            pltpu.VMEM((tr, cp), jnp.int32),  # back-sum count
         ]
     else:
         kernel = functools.partial(

@@ -315,12 +315,28 @@ def resident_tile_rows(cap: int, cols_pad: int) -> int:
 
     for tr in (32, 16, 8):
         # 8 halo-window buffers + 3 accumulators + double-buffered outputs
-        # (9·tr) + the symmetric kernel's 3 spill scratch rows and 3
-        # double-buffered spill outputs (72 row-equivalents)
+        # (9·tr) + the symmetric kernel's 3 spill scratch rows, 3
+        # double-buffered spill outputs (72 row-equivalents) and 3 back-sum
+        # planes (3·tr/cap rows — cap-independent [tr, Cp] buffers)
         est = cap * cols_pad * 4 * (8 * (tr + 2 * HALO) + 9 * tr + 72)
+        est += 3 * tr * cols_pad * 4
         if est * 2.2 <= 100 * 1024 * 1024:
             return tr
     return 8
+
+
+def resident_layout_shape(geom: GridGeom) -> Tuple[int, int, int]:
+    """The resident solver's slot-major layout shape [cap, rows_buf, Cp]
+    for a geometry — the shape of the solver_grad/solver_meta world cache
+    fields Engine._build_step installs (must match grid_constraints_resident's
+    own derivation)."""
+    from .pallas_kernels import HALO
+
+    cap = geom.capacity
+    cp = -(-(geom.cols + 2) // 128) * 128
+    tr = resident_tile_rows(cap, cp)
+    n_tiles = -(-geom.rows // tr)
+    return cap, n_tiles * tr + 2 * HALO, cp
 
 
 def _cached_bins(world: World, cfg: EngineConfig, compute):
@@ -402,32 +418,84 @@ def grid_constraints_resident(
         flat = (rank_safe * rows_buf + (HALO + bins.row)) * cp + (1 + bins.col)
         return jnp.where(in_grid, flat, total), in_grid  # OOB -> dropped
 
-    world, flat, in_grid = _cached_bins(world, cfg, _compute_bins)
-    t, rb = world.transform, world.rigid_body  # rebind post-replace
-
     # per-field scatters build the layout (measured: a gather-based build —
     # one meta scatter + [total]-index gathers through the ids — costs 605
     # ms/step at 1M vs 88 for the scatters; TPU's general gather at 11.5M
     # indices is far slower than 1M-index scatters into a zeroed buffer)
-    def scat(vals, dtype=jnp.float32):
+    def scat_at(flat_idx, vals, dtype=jnp.float32):
         return (
             jnp.zeros((total,), dtype)
-            .at[flat]
+            .at[flat_idx]
             .set(vals.astype(dtype), mode="drop", unique_indices=True)
             .reshape(cap, rows_buf, cp)
         )
 
+    def _attr_layouts(flat_idx):
+        """Radius + meta (gid | flags<<24; empty slot = 0) layouts for a
+        slot assignment — static between rebins, so they ride the rebin
+        cond: at 1M each field scatter costs ~7 ms in-context on v5e
+        (bench_kernels.py; the 4 scatters were the largest solver cost
+        after the pair kernel), and only x/y change every frame."""
+        grad = scat_at(flat_idx, c.radius)
+        flags = (
+            c.active.astype(jnp.int32)
+            | (c.is_trigger.astype(jnp.int32) << 1)
+            | (rb.static.astype(jnp.int32) << 2)
+            | ((t.active & rb.active & ~rb.static).astype(jnp.int32) << 3)
+        )
+        gid = jnp.arange(n, dtype=jnp.int32)
+        meta = scat_at(flat_idx, gid | (flags << 24), jnp.int32)
+        return grad, meta
+
+    interval = max(1, cfg.physics.rebin_interval)
+    attr_cached = (
+        interval > 1
+        and world.solver_grad is not None
+        and world.solver_grad.shape == (cap, rows_buf, cp)
+    )
+    if not attr_cached:
+        world, flat, in_grid = _cached_bins(world, cfg, _compute_bins)
+        grad, meta = _attr_layouts(flat)
+    else:
+        # one cond carries bins AND attribute layouts: between rebins the
+        # radius/meta scatters are skipped entirely. Staleness matches the
+        # bin cache's documented semantics (_cached_bins): attribute edits
+        # (radius writes, active-flag flips from in-program despawns) land
+        # at the next rebin, bounded by rebin_interval frames — the
+        # reference's physics likewise consumes the spatial worker's
+        # previous-frame view (physics_worker.js:379-383).
+        fresh_for = world.step_count - world.solver_bin_step
+        rebin = (world.solver_bin_step < 0) | (fresh_for >= interval)
+
+        def _fresh():
+            flat, in_grid = _compute_bins()
+            grad, meta = _attr_layouts(flat)
+            return flat, in_grid, grad, meta
+
+        flat, in_grid, grad, meta = jax.lax.cond(
+            rebin,
+            _fresh,
+            lambda: (
+                world.solver_flat, world.solver_in_grid,
+                world.solver_grad, world.solver_meta,
+            ),
+        )
+        world = world.replace(
+            solver_flat=flat,
+            solver_in_grid=in_grid,
+            solver_grad=grad,
+            solver_meta=meta,
+            solver_bin_step=jnp.where(
+                rebin, world.step_count, world.solver_bin_step
+            ).astype(jnp.int32),
+        )
+    t, rb = world.transform, world.rigid_body  # rebind post-replace
+
+    def scat(vals, dtype=jnp.float32):
+        return scat_at(flat, vals, dtype)
+
     gx = scat(t.x)
     gy = scat(t.y)
-    grad = scat(c.radius)
-    flags = (
-        c.active.astype(jnp.int32)
-        | (c.is_trigger.astype(jnp.int32) << 1)
-        | (rb.static.astype(jnp.int32) << 2)
-        | ((t.active & rb.active & ~rb.static).astype(jnp.int32) << 3)
-    )
-    gid = jnp.arange(n, dtype=jnp.int32)
-    meta = scat(gid | (flags << 24), jnp.int32)  # empty slot = 0 (no flags)
     g_moving = ((meta >> 24) & 8) != 0
 
     strength = float(ph.collision_response_strength)

@@ -138,3 +138,56 @@ def test_checkpoint_roundtrip_carries_bin_cache(tmp_path):
     a.step(3, block=True)
     b.step(3, block=True)
     np.testing.assert_array_equal(positions(a), positions(b))
+
+
+@pytest.mark.parametrize("prestep", [False, True])
+def test_checkpoint_roundtrip_pallas_attr_cache(tmp_path, prestep):
+    """The resident solver's attribute-layout cache (solver_grad/solver_meta)
+    rides checkpoints: restoring into a fresh engine (leaves not yet
+    installed) and into an already-stepped engine (leaves present, restored
+    wholesale) both resume on the same trajectory."""
+    from multithreadedgameengine_tpu.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    a = disc_engine(4, "pallas")
+    spawn_pair(a)
+    a.step(2, block=True)
+    assert a.world.solver_grad is not None  # cache installed + carried
+    path = str(tmp_path / "rebin_pallas.npz")
+    save_checkpoint(a, path)
+
+    b = disc_engine(4, "pallas")
+    spawn_pair(b)
+    if prestep:
+        b.step(2, block=True)  # leaves installed; restore overwrites them
+    load_checkpoint(b, path)
+    a.step(3, block=True)
+    b.step(3, block=True)
+    np.testing.assert_array_equal(positions(a), positions(b))
+
+
+def test_checkpoint_saved_before_stepping_loads_into_stepped_engine(tmp_path):
+    """A checkpoint written before the first step lacks the lazily-installed
+    solver_grad/solver_meta keys; loading it into an engine that HAS stepped
+    substitutes zeros, and the restored stamp (-1) forces a fresh rebin
+    before any read — trajectories match a from-scratch run."""
+    from multithreadedgameengine_tpu.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    a = disc_engine(4, "pallas")
+    spawn_pair(a)
+    path = str(tmp_path / "prestep_pallas.npz")
+    save_checkpoint(a, path)  # never stepped: no solver_grad in the file
+
+    b = disc_engine(4, "pallas")
+    spawn_pair(b)
+    b.step(2, block=True)
+    load_checkpoint(b, path)
+    assert int(jax.device_get(b.world.solver_bin_step)) == -1
+    a.step(3, block=True)
+    b.step(3, block=True)
+    np.testing.assert_array_equal(positions(a), positions(b))
