@@ -64,10 +64,17 @@ def rung_balls(n_balls: int, chunk: int = 20) -> dict:
         #    with the reference's own one-frame-stale candidate semantics
         #    (physics_worker.js:379-383). Values are the demo's own physics
         #    section (balls_config) — section overrides replace wholesale.
+        # rebin_interval 4: one binning argsort + attribute-layout rebuild
+        # per 4 frames (the r3 attr cache makes rebin frames carry the grad/
+        # meta scatters too, so the amortization is worth ~7 ms/step at 1M).
+        # Staleness stays the documented bin-cache semantics: candidates for
+        # cell-crossers lag up to 3 frames (reference analog: its physics
+        # consumes the spatial worker's previous-frame lists and that worker
+        # free-runs slower than physics at load, physics_worker.js:379-383).
         over["physics"] = dict(
             sub_step_count=2, max_collision_pairs=1, verlet_damping=0.99,
             boundary_elasticity=0.0, collision_response_strength=0.8,
-            gravity=(0.0, 0.5), solver_capacity=12, rebin_interval=2,
+            gravity=(0.0, 0.5), solver_capacity=12, rebin_interval=4,
         )
     eng = make_balls_engine(
         n_balls=n_balls, seed=123456,
