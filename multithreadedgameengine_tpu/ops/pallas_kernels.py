@@ -151,11 +151,11 @@ def _resident_kernel(
 ):
     _resident_body(
         salt_ref, x_ref, y_ref, r_ref, m_ref,
-        newx_out, newy_out, cnt_out, None, None, None,
+        newx_out, newy_out, cnt_out,
         xt_ref, yt_ref, rt_ref, mt_ref,
         xr_ref, yr_ref, rr_ref, mr_ref,
-        ax_ref, ay_ref, ac_ref, None, None, None,
-        sems, tr=tr, cap=cap, strength=strength, symmetric=False,
+        ax_ref, ay_ref, ac_ref,
+        sems, tr=tr, cap=cap, strength=strength,
     )
 
 
@@ -268,10 +268,18 @@ def _resident_body_pred(
         # planes that is 0.58x the roll volume, and the 4 rolled scratch
         # buffers disappear from the kernel's VMEM footprint
         for dr, dc in ((0, 0), (0, 1), (1, 0), (1, 1), (1, -1)):
-            back = bool(dr or dc)
+            # Newton's third law applies WITHIN the (0,0) cell too: i loops
+            # from j+1 and the reciprocal lands on plane j via the roll-free
+            # back path (_acc_back with dr=dc=0), halving same-cell trips —
+            # the most common pair kind at the 1M benchmark's occupancy.
+            back = True
+            same_cell = dr == 0 and dc == 0
 
-            def j_body(j, _, dr=dr, dc=dc, back=back):
-                @pl.when(occ_halo_ref[j] != 0)
+            def j_body(j, _, dr=dr, dc=dc, back=back, same_cell=same_cell):
+                # (0,0) reads center rows only — the tighter center flag
+                occ_j = occ_ctr_ref[j] if same_cell else occ_halo_ref[j]
+
+                @pl.when(occ_j != 0)
                 def _():
                     psl = (pl.ds(j, 1), slice(None), slice(None))
                     if dr or dc:
@@ -382,7 +390,9 @@ def _resident_body_pred(
 
                         return 0
 
-                    jax.lax.fori_loop(0, cap, i_body, 0)
+                    jax.lax.fori_loop(
+                        j + 1 if same_cell else 0, cap, i_body, 0
+                    )
                     if back:
                         _acc_back(
                             bx_ref[...], by_ref[...], bc_ref[...],
@@ -407,13 +417,11 @@ def _resident_body(
     salt_ref,  # SMEM (1,) uint32
     x_ref, y_ref, r_ref, m_ref,  # ANY (HBM), slot-major [cap, rows_buf, Cp]
     newx_out, newy_out, cnt_out,  # VMEM blocks [cap, TR, Cp]
-    sx_out, sy_out, sc_out,  # symmetric only: spill row [1, cap, 8, Cp]
     xt_ref, yt_ref, rt_ref, mt_ref,  # scratch [cap, TR+2H, Cp] (DMA dst)
     xr_ref, yr_ref, rr_ref, mr_ref,  # scratch: rolled per offset
     ax_ref, ay_ref, ac_ref,  # scratch accumulators [cap, TR, Cp]
-    sx_ref, sy_ref, sc_ref,  # symmetric only: spill accumulators [cap, 8, Cp]
     sems,
-    *, tr: int, cap: int, strength: float, symmetric: bool,
+    *, tr: int, cap: int, strength: float,
 ):
     """One Jacobi pair pass over resident slot-major fields.
 
@@ -429,19 +437,10 @@ def _resident_body(
      - outputs are the UPDATED center positions (xs + Jacobi displacement),
        written straight into the resident row range.
 
-    ``symmetric=True`` (the resident solver's default) applies Newton's third
-    law: only the 5 forward offsets {(0,0),(0,1),(1,-1),(1,0),(1,1)} are
-    iterated — 5/9 the rolls and j-trips — and each (offset, j) iteration
-    accumulates BOTH sides of its pairs: the i side elementwise (as before)
-    and the j side as an i-plane reduction rolled back to the j cell's
-    position. Per-pair values are bit-identical to the two-sided enumeration
-    ((-a)*b == -(a*b) exactly); only the fp ADDITION order into each slot's
-    accumulator differs, so symmetric-vs-two-sided positions agree to ~1e-5
-    relative while the int32 contact counts stay exact. Pairs whose j side
-    lands one row BELOW the tile (dr=+1 at the last center row) emit into a
-    per-tile spill-row output that the wrapper overlap-adds into the next
-    tile — no tile-boundary pair is lost or double-counted (the (0,0) tile
-    split happens on row boundaries only).
+    This is the TWO-SIDED 9-offset enumeration whose accumulation order is
+    bit-identical to the XLA grid solver — the numerics reference the tests
+    pin the production kernel against. The production symmetric kernel is
+    `_resident_body_pred` (Newton-reciprocal + occupancy predication).
     """
     i = pl.program_id(0)
     row0 = i * tr  # aligned: tr % 8 == 0
@@ -468,10 +467,6 @@ def _resident_body(
         newx_out[...] = xs
         newy_out[...] = ys
         cnt_out[...] = jnp.zeros(xs.shape, jnp.int32)
-        if symmetric:
-            sx_out[...] = jnp.zeros(sx_out.shape, jnp.float32)
-            sy_out[...] = jnp.zeros(sy_out.shape, jnp.float32)
-            sc_out[...] = jnp.zeros(sc_out.shape, jnp.int32)
 
     @pl.when(any_self)
     def _():
@@ -486,30 +481,11 @@ def _resident_body(
         ax_ref[...] = jnp.zeros(xs.shape, jnp.float32)
         ay_ref[...] = jnp.zeros(xs.shape, jnp.float32)
         ac_ref[...] = jnp.zeros(xs.shape, jnp.int32)
-        if symmetric:
-            sx_ref[...] = jnp.zeros(sx_ref.shape, jnp.float32)
-            sy_ref[...] = jnp.zeros(sy_ref.shape, jnp.float32)
-            sc_ref[...] = jnp.zeros(sc_ref.shape, jnp.int32)
 
-        if symmetric:
-            # incremental roll plan: each forward offset's buffers derive
-            # from the cheapest source — (0,0) reads the DMA tiles directly;
-            # (1,1) and (1,-1) re-roll the PREVIOUS rolled buffer by a lane
-            # delta instead of re-rolling from the base (24 -> 16 roll ops
-            # per tile). src=None: direct; src='base': roll the DMA tiles;
-            # src='prev': roll the rolled buffers in place.
-            offsets = (
-                ((0, 0), None, 0, 0),
-                ((0, 1), "base", 0, 1),
-                ((1, 0), "base", 1, 0),
-                ((1, 1), "prev", 0, 1),
-                ((1, -1), "prev", 0, -2),
-            )
-        else:
-            offsets = tuple(
-                ((dr, dc), None if (dr == 0 and dc == 0) else "base", dr, dc)
-                for dr in (-1, 0, 1) for dc in (-1, 0, 1)
-            )
+        offsets = tuple(
+            ((dr, dc), None if (dr == 0 and dc == 0) else "base", dr, dc)
+            for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+        )
         for (dr, dc), src, sdr, sdc in offsets:
             if src == "base":
                 xr_ref[...] = _roll2(xt_ref[...], sdr, sdc)
@@ -559,15 +535,6 @@ def _resident_body(
                     zero = d2 == 0
                     any_zero = jnp.any(zero & ok)
 
-                    back = symmetric and (dr or dc)
-                    if back:
-                        # j side of each pair: Newton reciprocal with the
-                        # j's own share (roles swapped)
-                        share_j = jnp.where(
-                            trig | st_j, 0.0, jnp.where(st_i, 1.0, 0.5)
-                        )
-                        corr_j = (min_d - dist) * strength * share_j
-
                     # common case: no exactly-coincident pair in the block
                     # — the jitter hash (+rsqrt) never evaluates; at d2==0
                     # inv_dist is exact 0 so the normal push is exact 0
@@ -575,15 +542,6 @@ def _resident_body(
                     def _():
                         ax_ref[...] += dx * inv_dist * corr * ov
                         ay_ref[...] += dy * inv_dist * corr * ov
-                        if back:
-                            _acc_back(
-                                jnp.sum(-(dx * inv_dist * corr_j) * ov, axis=0),
-                                jnp.sum(-(dy * inv_dist * corr_j) * ov, axis=0),
-                                jnp.sum(overlap.astype(jnp.int32), axis=0),
-                                j, dr, dc,
-                                ax_ref, ay_ref, ac_ref,
-                                sx_ref, sy_ref, sc_ref,
-                            )
 
                     @pl.when(any_zero)
                     def _():
@@ -597,27 +555,6 @@ def _resident_body(
                         push_y = jnp.where(zero, uy * zshare, dy * inv_dist * corr)
                         ax_ref[...] += push_x * ov
                         ay_ref[...] += push_y * ov
-                        if back:
-                            # reciprocal with roles swapped: the hash dir is
-                            # unordered-pair symmetric, the sign flips
-                            zmag_j = jnp.where(
-                                trig | st_j, 0.0, jnp.where(st_i, 2.0, 1.0)
-                            )
-                            zshare_j = zmag_j * (-sign) * jnp.float32(0.001)
-                            bx = jnp.where(
-                                zero, ux * zshare_j, -(dx * inv_dist * corr_j)
-                            )
-                            by = jnp.where(
-                                zero, uy * zshare_j, -(dy * inv_dist * corr_j)
-                            )
-                            _acc_back(
-                                jnp.sum(bx * ov, axis=0),
-                                jnp.sum(by * ov, axis=0),
-                                jnp.sum(overlap.astype(jnp.int32), axis=0),
-                                j, dr, dc,
-                                ax_ref, ay_ref, ac_ref,
-                                sx_ref, sy_ref, sc_ref,
-                            )
 
                     ac_ref[...] += overlap.astype(jnp.int32)
 
@@ -628,10 +565,6 @@ def _resident_body(
         newx_out[...] = xs + ax_ref[...]
         newy_out[...] = ys + ay_ref[...]
         cnt_out[...] = ac_ref[...]
-        if symmetric:
-            sx_out[0] = sx_ref[...]
-            sy_out[0] = sy_ref[...]
-            sc_out[0] = sc_ref[...]
 
 
 def _acc_back(bx, by, bc, j, dr: int, dc: int,
@@ -779,11 +712,14 @@ def pair_pass_resident(
     # down one tile and add at each tile's row 0. The LAST tile's spill
     # lands in the bottom HALO padding (empty cells, identically zero).
     def combine(main, spill):
-        add = jnp.zeros((n_tiles, cap, tr, cp), main.dtype)
-        add = add.at[1:, :, 0, :].set(spill[:-1, :, 0, :])
-        return main + jnp.transpose(add, (1, 0, 2, 3)).reshape(
-            cap, center_rows, cp
+        # touch ONLY the n_tiles-1 boundary rows (an indexed add over
+        # [cap, n_tiles-1, Cp]) instead of materializing a full-layout
+        # zero tensor per field per substep
+        main_r = main.reshape(cap, n_tiles, tr, cp)
+        main_r = main_r.at[:, 1:, 0, :].add(
+            jnp.transpose(spill[:-1, :, 0, :], (1, 0, 2))
         )
+        return main_r.reshape(cap, center_rows, cp)
 
     return (combine(nx, sx), combine(ny, sy), combine(cnt, sc))
 

@@ -533,6 +533,9 @@ def grid_constraints_resident(
             tile_rows=tr, interpret=interp,
             symmetric=bool(ph.solver_symmetric),
         )
+        # full-height concat beats dynamic_update_slice here (measured 24.25
+        # vs 23.55 steps/s at 1M — the in-place DUS forces a copy of the
+        # carried buffer plus a read-modify-write on the count plane)
         pad = ((0, 0), (HALO, HALO), (0, 0))
         return (
             jnp.concatenate([gx[:, :HALO], nx, gx[:, HALO + n_tiles * tr:]], axis=1),
