@@ -78,6 +78,16 @@ class PhysicsConfig:
     # exact). False pins the two-sided kernel whose accumulation order is
     # bit-exact with the XLA grid solver (the conformance tests' oracle).
     solver_symmetric: bool = True
+    # Occupancy-predicated symmetric kernel selection. The predicated
+    # kernel loops (offset, j, i) planes with per-plane skip flags — a big
+    # win when layout lanes are wide (1M-balls: pair pass 9.8 -> 7.0 ms at
+    # cols_pad 1280) but scalar-loop overhead-bound when each plane op is
+    # tiny (10k-balls: +0.5 ms/step at cols_pad 128, measured). "auto"
+    # uses it only when the padded lane width is >= 512; "on"/"off" force
+    # it (tests pin "on" at small scale to keep the kernel covered).
+    # With the predicated kernel off, the two-sided full-block kernel runs
+    # (which is also the bit-exact XLA-parity formulation).
+    solver_predicated: str = "auto"
     # solver-grid cell capacity override (0 = size from the radius
     # distribution, ops/physics_grid.py solver_geometry). Pair-kernel work
     # and layout memory scale with capacity; scenes whose settled occupancy
@@ -104,6 +114,11 @@ class PhysicsConfig:
             raise ValueError(
                 "physics.solver must be 'auto', 'grid', 'neighbors' or "
                 f"'pallas', got {self.solver!r}"
+            )
+        if self.solver_predicated not in ("auto", "on", "off"):
+            raise ValueError(
+                "physics.solver_predicated must be 'auto', 'on' or 'off', "
+                f"got {self.solver_predicated!r}"
             )
         if self.solver_capacity > 64:
             # the pair kernel's i-plane count / VMEM scratch scale with

@@ -503,6 +503,15 @@ def grid_constraints_resident(
     salt = world.step_count.astype(jnp.uint32)
     interp = jax.default_backend() != "tpu"
 
+    # predicated-kernel gate (PhysicsConfig.solver_predicated docs): the
+    # occupancy-predicated symmetric kernel wins at wide layouts and loses
+    # to the two-sided full-block kernel at narrow ones (measured crossover
+    # ~512 padded lanes)
+    use_symmetric = bool(ph.solver_symmetric) and (
+        ph.solver_predicated == "on"
+        or (ph.solver_predicated == "auto" and cp >= 512)
+    )
+
     # px/py handling: the pair kernel never reads them — only the boundary
     # bounce does. With elasticity == 0 the reflection collapses to
     # px' = clamped-at-last-hit (no dependence on the old px), so the two
@@ -531,7 +540,7 @@ def grid_constraints_resident(
         nx, ny, c_ = pair_pass_resident(
             gx, gy, grad, meta, salt, strength,
             tile_rows=tr, interpret=interp,
-            symmetric=bool(ph.solver_symmetric),
+            symmetric=use_symmetric,
         )
         # full-height concat beats dynamic_update_slice here (measured 24.25
         # vs 23.55 steps/s at 1M — the in-place DUS forces a copy of the

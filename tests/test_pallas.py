@@ -23,7 +23,11 @@ def run_both(s, steps=1, symmetric=False):
     # (solver_symmetric=True, the production default) is covered by
     # TestSymmetricKernel at allclose + exact-count strength.
     geom = solver_geometry(make_cfg("grid"), float(np.max(s.radius)))
-    cp_ = make_cfg("pallas", solver_symmetric=symmetric)
+    # solver_predicated="on": test worlds are narrow (cols_pad 128), where
+    # the auto gate would silently fall back to the two-sided kernel — pin
+    # the predicated kernel on so it keeps coverage at test scale
+    cp_ = make_cfg("pallas", solver_symmetric=symmetric,
+                   solver_predicated="on")
     wx = world_from_golden(s, make_cfg("grid"))
     wp = world_from_golden(s, cp_)
     fx = jax.jit(lambda w: grid_constraints(w, make_cfg("grid"), geom)[0])
@@ -129,6 +133,7 @@ class TestSymmetricKernel:
             physics=dict(
                 gravity=(0.0, 0.0), sub_step_count=1, solver="pallas",
                 boundary_elasticity=0.5, collision_response_strength=0.7,
+                solver_predicated="on",
             ),
         )
         geom = solver_geometry(cfgp, 12.0)
@@ -179,6 +184,7 @@ class TestSymmetricKernel:
                     boundary_elasticity=0.5,
                     collision_response_strength=0.7,
                     solver=solver, solver_symmetric=symmetric,
+                    solver_predicated="on",
                 ),
             )
 
