@@ -54,6 +54,8 @@ def rung_balls(n_balls: int, chunk: int = 20) -> dict:
 
     scale = (n_balls / 10_000) ** 0.5
     over = {}
+    # (rebin_interval at 100k measured a wash: 128.0 vs 133.0 steps/s —
+    # that rung is dispatch/elementwise-bound, its binning argsort is cheap)
     if n_balls >= 1_000_000:
         # scene-tuned solver knobs, as the reference demos hand-tune cellSize/
         # maxNeighbors per scene (demos/balls/index.html:100-140):
