@@ -1088,8 +1088,17 @@ class Engine:
         cfg = self._resolve_spatial()
         # grid-solver bin cache (physics.rebin_interval, config.py docs):
         # reset the stamp to -1 on every rebuild so a solver/geometry change
-        # forces a fresh rebin (cached flat slots encode the OLD layout)
-        if cfg.physics.rebin_interval > 1 and self.world.solver_flat is not None:
+        # forces a fresh rebin (cached flat slots encode the OLD layout).
+        # Also INSTALL the cache fields here (not just at init) so raising
+        # rebin_interval at runtime via update_physics_config activates the
+        # cache instead of silently recomputing every frame.
+        if cfg.physics.rebin_interval > 1:
+            if self.world.solver_flat is None:
+                n_ = self.world.n_entities
+                self.world = self.world.replace(
+                    solver_flat=jnp.zeros((n_,), jnp.int32),
+                    solver_in_grid=jnp.zeros((n_,), jnp.bool_),
+                )
             self.world = self.world.replace(solver_bin_step=jnp.int32(-1))
         type_ranges = tuple(
             (reg.cls, reg.start_index, reg.count)

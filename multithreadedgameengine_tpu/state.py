@@ -94,8 +94,10 @@ class World:
     # slot assignment does, so between rebins only the x/y position scatters
     # run (measured ~7 ms per 1M-index field scatter on v5e — the dominant
     # solver cost after the pair kernel). Installed by Engine._build_step at
-    # the current layout shape ([cap, rows_buf, cols_pad]); (0,)-shaped until
-    # the first build so checkpoints taken before stepping stay consistent.
+    # the current layout shape ([cap, rows_buf, cols_pad]); None until the
+    # first build (a checkpoint saved before stepping lacks these keys —
+    # checkpoint.load_checkpoint substitutes zeros and the stamp reset
+    # forces a rebin before any read).
     solver_grad: Optional[jnp.ndarray] = None  # f32[cap, rows_buf, Cp]
     solver_meta: Optional[jnp.ndarray] = None  # int32[cap, rows_buf, Cp]
 

@@ -191,3 +191,23 @@ def test_checkpoint_saved_before_stepping_loads_into_stepped_engine(tmp_path):
     a.step(3, block=True)
     b.step(3, block=True)
     np.testing.assert_array_equal(positions(a), positions(b))
+
+
+def test_runtime_raised_interval_activates_cache():
+    """Raising rebin_interval via update_physics_config after construction
+    installs the cache fields on the next build and caches for real — an
+    entity spawned between rebins is invisible to the pair pass until the
+    next rebin, exactly as with a construction-time interval."""
+    eng = disc_engine(1, "pallas")  # interval 1: no cache fields at init
+    a, b = spawn_pair(eng)
+    eng.step(block=True)
+    assert eng.world.solver_flat is None
+    eng.update_physics_config(rebin_interval=4)
+    eng.step(block=True)  # rebuild: installs + rebins fresh (stamp -1)
+    assert eng.world.solver_flat is not None
+    assert eng.world.solver_grad is not None
+    assert int(jax.device_get(eng.world.solver_bin_step)) >= 0
+    # spawn between rebins: stale bins don't include it (cached for real)
+    c = eng.spawn("Disc", x=110.0, y=75.0)  # overlapping a
+    eng.step(block=True)
+    assert int(eng.metrics["solver_overflow"]) >= 1
