@@ -120,9 +120,6 @@ def main() -> None:
     x_np = rng.standard_normal(n).astype(np.float32)
     y_np = rng.standard_normal(n).astype(np.float32)
 
-    if interpret:
-        # correctness-only at small n on CPU
-        pass
     x = jnp.asarray(x_np)
     y = jnp.asarray(y_np)
     order = jnp.asarray(order_np)

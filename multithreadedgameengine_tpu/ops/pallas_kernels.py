@@ -573,7 +573,9 @@ def _acc_back(bx, by, bc, j, dr: int, dc: int,
     iteration. ``bx/by/bc`` are [TR, Cp] sums over i-planes, aligned to the
     i rows; the j entities sit at (r+dr, c+dc), so roll forward by (dr, dc).
     With dr=+1 the last center row's contribution belongs to the next tile's
-    row 0 — it goes to the spill accumulators instead (row 0 of [cap,8,Cp])."""
+    row 0 — it goes to the spill accumulators instead (row 0 of [cap,8,Cp]).
+    dr=dc=0 is the same-cell Newton case (predicated kernel, i>j): a direct
+    roll-free, spill-free add into plane j."""
     if dc:
         bx = pltpu.roll(bx, dc % bx.shape[1], 1)
         by = pltpu.roll(by, dc % by.shape[1], 1)
