@@ -185,6 +185,12 @@ class EntityClass:
     on_collision_stay: Optional[Callable[[int, int], None]] = None
     on_collision_exit: Optional[Callable[[int, int], None]] = None
 
+    # ---- host-side onScreen callbacks (logic_worker.js:534-554) ----
+    # fired when the entity's culling visibility transitions; requires
+    # logic.screen_events. Signature: hook(entity_index).
+    on_screen_enter: Optional[Callable[[int], None]] = None
+    on_screen_exit: Optional[Callable[[int], None]] = None
+
     # ---- device-side hook ----
     tick: Optional[Callable[["TickCtx"], Optional[Dict[str, Any]]]] = None
 
@@ -376,6 +382,144 @@ class TickCtx:
 
     def key(self, name: str) -> jnp.ndarray:
         return self.inputs.keys[key_index(name)]
+
+
+class NotLayoutSafe(Exception):
+    """Raised by :class:`ForceTickCtx` when a tick touches state that does
+    not exist in the solver's position layout (neighbors, arbitrary
+    components, the world) — the class then disqualifies from
+    physics.position_residency and the scatter-per-frame path runs."""
+
+
+#: self-field paths a layout-evaluated tick may read (present in the
+#: resident layout or constant-zero at tick time: the Verlet zeroes ax/ay
+#: every frame, physics_worker.js:240-316)
+_LAYOUT_READABLE = {
+    "transform.x", "transform.y", "rigid_body.ax", "rigid_body.ay",
+}
+#: paths a layout-evaluated tick may write (forces consumed by the Verlet)
+LAYOUT_WRITABLE = {"rigid_body.ax", "rigid_body.ay"}
+
+
+class ForceTickCtx:
+    """Minimal TickCtx stand-in for evaluating a tick in SOLVER LAYOUT space
+    (physics.position_residency): exposes exactly the state that exists
+    per layout slot — position, zeroed accelerations, the input snapshot,
+    config — and raises :class:`NotLayoutSafe` on anything else. Used both
+    to PROBE a tick for layout-safety at build time (under jax.eval_shape)
+    and to evaluate qualified ticks over layout slots inside the step."""
+
+    __slots__ = ("i", "_x", "_y", "inputs", "dt_ratio", "config")
+
+    def __init__(self, i, x, y, inputs: InputState, dt_ratio, config: EngineConfig):
+        self.i = i  # global entity id (decoded from the layout meta)
+        self._x = x
+        self._y = y
+        self.inputs = inputs
+        self.dt_ratio = dt_ratio
+        self.config = config
+
+    def field(self, path: str) -> jnp.ndarray:
+        path = FIELD_ALIASES.get(path, path)
+        if path == "transform.x":
+            return self._x
+        if path == "transform.y":
+            return self._y
+        if path in ("rigid_body.ax", "rigid_body.ay"):
+            return jnp.float32(0.0)
+        raise NotLayoutSafe(path)
+
+    @property
+    def x(self): return self._x
+    @property
+    def y(self): return self._y
+    @property
+    def ax(self): return jnp.float32(0.0)
+    @property
+    def ay(self): return jnp.float32(0.0)
+
+    def __getattr__(self, name):  # any other accessor disqualifies
+        raise NotLayoutSafe(name)
+
+    @property
+    def mouse_x(self): return self.inputs.mouse_x
+    @property
+    def mouse_y(self): return self.inputs.mouse_y
+    @property
+    def mouse_down(self): return self.inputs.mouse_buttons[0]
+
+    def key(self, name: str) -> jnp.ndarray:
+        return self.inputs.keys[key_index(name)]
+
+
+def probe_layout_safe(klass: type, cfg: EngineConfig) -> bool:
+    """Decide at build time whether a class's tick can evaluate in solver
+    layout space: reads only what :class:`ForceTickCtx` exposes AND writes
+    only rigid_body.ax/ay (no despawn/emit/sprite side effects). Probed
+    abstractly (jax.eval_shape) so no device work runs."""
+    tick = getattr(klass, "tick", None)
+    if tick is None:
+        return True  # nothing to evaluate — contributes zero force
+    if getattr(klass, "uses_neighbors", True):
+        return False
+    tick_fn = tick.__func__ if isinstance(tick, (staticmethod, classmethod)) else tick
+
+    def run():
+        ctx = ForceTickCtx(
+            jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0),
+            InputState.default(), jnp.float32(cfg.dt_ratio), cfg,
+        )
+        out = tick_fn(ctx)
+        return out if out is not None else {}
+
+    try:
+        out = jax.eval_shape(run)
+    except NotLayoutSafe:
+        return False
+    except Exception:
+        return False  # any trace failure under the minimal ctx → unsafe
+    keys = {FIELD_ALIASES.get(k, k) for k in out}
+    return keys <= LAYOUT_WRITABLE
+
+
+def eval_layout_forces(
+    force_specs: Sequence[Tuple[Callable, int, int]],
+    gx: jnp.ndarray,
+    gy: jnp.ndarray,
+    gid: jnp.ndarray,
+    inputs: InputState,
+    cfg: EngineConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate layout-safe tick forces directly over solver-layout slots.
+    ``force_specs``: (tick_fn, start, count) per qualified ticking class —
+    each tick is vmapped over every slot and merged under its class's
+    gid-range mask (empty slots carry gid 0 / moving=0 and never consume
+    the result). Bit-exact with the entity-order evaluation: same function,
+    same per-entity scalars."""
+    shape = gx.shape
+    ax = jnp.zeros(shape, jnp.float32)
+    ay = jnp.zeros(shape, jnp.float32)
+    if not force_specs:
+        return ax, ay
+    fx, fy, fid = gx.ravel(), gy.ravel(), gid.ravel()
+    axf, ayf = ax.ravel(), ay.ravel()
+    for tick_fn, start, count in force_specs:
+        def one(i, xi, yi):
+            ctx = ForceTickCtx(
+                i, xi, yi, inputs, jnp.float32(cfg.dt_ratio), cfg
+            )
+            out = tick_fn(ctx) or {}
+            norm = {FIELD_ALIASES.get(k, k): v for k, v in out.items()}
+            return (
+                jnp.asarray(norm.get("rigid_body.ax", 0.0), jnp.float32),
+                jnp.asarray(norm.get("rigid_body.ay", 0.0), jnp.float32),
+            )
+
+        oax, oay = jax.vmap(one)(fid, fx, fy)
+        m = (fid >= start) & (fid < start + count)
+        axf = jnp.where(m, oax, axf)
+        ayf = jnp.where(m, oay, ayf)
+    return axf.reshape(shape), ayf.reshape(shape)
 
 
 #: emit-request field -> (dtype, default). x/y default to the emitting

@@ -105,9 +105,15 @@ def load_checkpoint(engine: "Engine", path: str) -> None:
         if key not in data and key.startswith("world:solver_"):
             # solver layout caches (solver_grad/solver_meta) install lazily
             # at the first _build_step; a checkpoint saved before stepping
-            # lacks them. Zeros are safe: the stamp reset on the loading
-            # engine's next _build_step forces a fresh rebin before any read.
-            leaves.append(jax.numpy.zeros(old.shape, old.dtype))
+            # lacks them. Zero caches are safe ONLY with an invalid stamp:
+            # load_checkpoint never rebuilds an already-built engine's
+            # _step_fn, so the stamp itself must read "never binned" (-1)
+            # or all-zero slots would be trusted for up to
+            # rebin_interval - 1 frames (advisor r3).
+            if key in ("world:solver_bin_step", "world:solver_pos_step"):
+                leaves.append(jax.numpy.full(old.shape, -1, old.dtype))
+            else:
+                leaves.append(jax.numpy.zeros(old.shape, old.dtype))
             continue
         arr = data[key]
         if arr.shape != old.shape:

@@ -101,10 +101,39 @@ class PhysicsConfig:
     # candidate semantics the reference ships (its physics worker consumes
     # neighbor lists the spatial worker built on ITS previous frame, an
     # accepted race: physics_worker.js:379-383). Fast movers can miss pairs
-    # for up to k-1 frames (the reference misses them for 1); entities
-    # spawned between rebins degrade to boundary-only until the next rebin
-    # (visible in `solver_overflow`). Saves the per-frame binning sort at
-    # large N (the #2 cost of the 1M-entity step).
+    # for up to k-1 frames (the reference misses them for 1). Host-side
+    # spawns/despawns/writes invalidate the cache (see the ghost note
+    # below), so only IN-STEP evolution rides stale bins. Saves the
+    # per-frame binning sort at large N (the #2 cost of the 1M-entity
+    # step).
+    # Keep positions RESIDENT in the pallas solver's slot-major layout
+    # ACROSS frames: Verlet move and (layout-safe) tick forces evaluate in
+    # layout space, deleting the per-frame x/y entity→layout scatters that
+    # were the largest remaining cost of the 1M-entity step (~13 ms/frame
+    # measured on v5e, docs/parity_status.md). "auto" enables it when the
+    # pallas solver is active, rebin_interval > 1, and every ticking
+    # class's tick is layout-safe (reads only self x/y/ax/ay + inputs +
+    # config, writes only rigid_body.ax/ay — probed at build time);
+    # "on" forces the probe to be honored but errors if a tick is unsafe;
+    # "off" always uses the scatter-per-frame path. Between host
+    # mutations, entity-order px/py are stale (synced on demand by
+    # snapshot/checkpoint/spawn paths); host mutations force a fresh
+    # rebin, which also drops despawn ghosts immediately (stricter than
+    # the plain attr-cache path below). Results are bit-exact with
+    # position_residency="off" — tests/test_round4.py asserts it.
+    position_residency: str = "auto"
+    # Despawn-ghost window (pallas solver only): the resident path also
+    # caches the attribute layouts between rebins, so an entity despawned
+    # IN-STEP (a tick returning {"despawn": True}) keeps its cached
+    # active-collider bit and acts as a frozen ghost collider until the
+    # next rebin (up to k-1 frames). HOST-side mutations (spawn/despawn/
+    # field writes between steps) invalidate the bin cache and re-bin the
+    # next frame, so host despawns drop out immediately and host spawns
+    # collide from their first frame. The XLA 'grid' backend rebuilds
+    # attributes fresh each frame (only bins are cached) and has no ghost
+    # window at all — the two backends intentionally diverge for in-step
+    # despawns. Avoid rebin_interval > 1 in scenes with heavy in-step
+    # despawning.
     rebin_interval: int = 1
 
     def validated(self) -> "PhysicsConfig":
@@ -119,6 +148,11 @@ class PhysicsConfig:
             raise ValueError(
                 "physics.solver_predicated must be 'auto', 'on' or 'off', "
                 f"got {self.solver_predicated!r}"
+            )
+        if self.position_residency not in ("auto", "on", "off"):
+            raise ValueError(
+                "physics.position_residency must be 'auto', 'on' or 'off', "
+                f"got {self.position_residency!r}"
             )
         if self.solver_capacity > 64:
             # the pair kernel's i-plane count / VMEM scratch scale with
@@ -165,6 +199,10 @@ class LogicConfig:
     event_chunk: int = 1
     # log capacity per frame per event kind under chunked stepping
     max_events_per_frame: int = 1024
+    # onScreen Enter/Exit table capacity (screen_events): transitions per
+    # frame beyond this drop (the device diff compacts entity ids into a
+    # fixed [2 + 2*cap] packed array — see state.World.screen_events_packed)
+    max_screen_events: int = 1024
     # Pair-recording scope. By default, when any class registers a collision
     # hook, only pairs with at least one HOOKED participant are recorded
     # (recorded from the hooked side) — the unhooked-vs-unhooked pairs the

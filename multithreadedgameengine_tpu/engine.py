@@ -301,7 +301,17 @@ class Engine:
         eng.step(60)
     """
 
-    def __init__(self, config: Optional[EngineConfig] = None, **kwargs):
+    def __init__(
+        self,
+        config: Optional[EngineConfig] = None,
+        images: Optional[Dict[str, Any]] = None,
+        sheets: Optional[Dict[str, Any]] = None,
+        **kwargs,
+    ):
+        """``images``/``sheets`` mirror ``new GameEngine(config, imageUrls)``
+        (gameEngine.js:21, :805-889): assets named here are loaded, packed
+        into the big atlas and registered immediately — see
+        :meth:`load_assets` for the accepted forms."""
         if config is None:
             config = make_config(**kwargs)
         elif kwargs:
@@ -327,7 +337,6 @@ class Engine:
         self.timeline = TimelineLog()
         self.profiler = PhaseProfiler(self)
         self._profiling = False
-        self._prev_onscreen: Optional[np.ndarray] = None
         # renderer-override channel (setSpriteProp/callSpriteMethod RPC,
         # gameObject.js:546-582 → pixi_worker.js:2009-2053)
         self._sprite_overrides: Dict[int, Dict[str, Any]] = {}
@@ -353,15 +362,76 @@ class Engine:
         self._flush_fns: Dict[Any, Any] = {}
         self._event_gather_fns: Dict[int, Any] = {}
         self._pending_ops: List[Tuple[str, Any]] = []
+        # position-residency state (physics.position_residency): whether the
+        # current step program keeps x/y/px/py layout-resident
+        # (ops/physics_grid.resident_persistent_step)
+        self._residency_on = False
         # largest collider radius ever written host-side: sizes the grid
         # solver's geometry; a larger later spawn forces a step rebuild
         self._max_radius = 0.0
         self._solver_radius_bound = 0.0
         self.metrics: Dict[str, Any] = {}
 
+        # the big atlas (BigAtlas) once assets load — renderers (the render
+        # server, headless screenshots) pick it up from here
+        self.atlas = None
+
         # Mouse auto-registered first so entity index 0 is the mouse
         # (gameEngine.js:278-281, :536-542)
         self.register_entity_class(Mouse, 1)
+
+        if images or sheets:
+            self.load_assets(images=images, sheets=sheets)
+
+    def load_assets(
+        self,
+        images: Optional[Dict[str, Any]] = None,
+        sheets: Optional[Dict[str, Any]] = None,
+        atlas_size: int = 1024,
+    ):
+        """The engine-level asset preload (preloadAssets, gameEngine.js:
+        805-889 → SpriteSheetRegistry.createBigAtlas, SpriteSheetRegistry.js:
+        622-902) as ONE call: load every image and spritesheet, cut sheet
+        frames, pack everything (plus the built-in ``_lightGradient``) into
+        the big atlas, and register textures + sheets with their animation
+        index spaces on ``engine.sprites``.
+
+        ``images``: {name: png_path | RGBA uint8 [H, W, 4] array}.
+        ``sheets``: {name: (png_path | RGBA array, texturepacker_json_path |
+        dict)} — the JSON needs "frames" ({name: {"frame": {x, y, w, h}}})
+        and "animations" ({anim: [frame names]}), the format the
+        reference's spritesheet tooling emits and tools/texture_packer.py
+        produces.
+
+        The atlas lands on ``engine.atlas`` (the render server and headless
+        sprite renderer use it automatically) and is returned. Callable
+        before or after init(); sheet/texture registration is idempotent,
+        so classes may also pre-register names in setup()."""
+        import json as _json
+        import os
+
+        from .render.atlas import create_big_atlas, load_png
+
+        def as_img(v):
+            if isinstance(v, (str, os.PathLike)):
+                return load_png(os.fspath(v))
+            arr = np.asarray(v, np.uint8)
+            if arr.ndim != 3 or arr.shape[2] != 4:
+                raise ValueError("images must be RGBA uint8 [H, W, 4]")
+            return arr
+
+        imgs = {name: as_img(v) for name, v in (images or {}).items()}
+        sh = {}
+        for name, spec in (sheets or {}).items():
+            img, meta = spec
+            if isinstance(meta, (str, os.PathLike)):
+                with open(os.fspath(meta)) as f:
+                    meta = _json.load(f)
+            sh[name] = (as_img(img), meta)
+        self.atlas = create_big_atlas(
+            imgs, sh, size=atlas_size, registry=self.sprites
+        )
+        return self.atlas
 
     # ------------------------------------------------------------------
     # registration (gameEngine.js:292-366, :389-457)
@@ -460,6 +530,10 @@ class Engine:
             decal_tile_shape=tile_shape,
             n_shadow_sprites=n_shadows,
             event_tables=self.config.logic.collision_events,
+            n_screen_events=(
+                self.config.logic.max_screen_events
+                if self.config.logic.screen_events else 0
+            ),
         )
         # grid-solver bin cache (physics.rebin_interval, config.py docs):
         # installed at init so the world treedef — and therefore checkpoint
@@ -617,20 +691,16 @@ class Engine:
         the device-agnostic half of :meth:`spawn_batch`, shared with
         :class:`FramePlan`. Returns (claimed idx, {path: [n] values})."""
         reg = self.classes[class_name]
-        indices = []
-        for _ in range(count):
-            i = reg.pool.claim()
-            if i is None:
-                self.timeline.log(
-                    f"pool exhausted during spawn_batch({class_name}): "
-                    f"claimed {len(indices)} of {count}"
-                )
-                break
-            indices.append(i)
-        n = len(indices)
+        claimed = reg.pool.claim_many(count)
+        n = int(claimed.size)
+        if n < count:
+            self.timeline.log(
+                f"pool exhausted during spawn_batch({class_name}): "
+                f"claimed {n} of {count}"
+            )
         if n == 0:
             return np.empty((0,), np.int32), {}
-        idx = np.asarray(indices, np.int32)
+        idx = claimed.astype(np.int32)
 
         columns: Dict[str, np.ndarray] = {}
 
@@ -967,6 +1037,16 @@ class Engine:
                     world = write_field(
                         world, path, arr.at[idx].set(vals, mode="drop")
                     )
+                # host mutations invalidate the solver bin cache: the next
+                # frame re-bins, so despawned entities drop out of the pair
+                # search immediately (no attr-cache ghost window, advisor
+                # r3) and spawns get collisions from their first frame
+                # instead of degrading to boundary-only until the next
+                # scheduled rebin
+                if world.solver_bin_step is not None:
+                    world = world.replace(
+                        solver_bin_step=world.step_count * 0 - 1
+                    )
                 return world
 
             fn = jax.jit(apply, donate_argnums=0)
@@ -1133,6 +1213,7 @@ class Engine:
             if (
                 cfg.physics.rebin_interval > 1
                 and cfg.physics.solver == "pallas"
+                and solver_geom is not None
                 and self.world.solver_flat is not None
             ):
                 from .ops.physics_grid import resident_layout_shape
@@ -1146,6 +1227,66 @@ class Engine:
                         solver_grad=jnp.zeros(shape, jnp.float32),
                         solver_meta=jnp.zeros(shape, jnp.int32),
                     )
+
+        # position residency (physics.position_residency): keep x/y/px/py in
+        # the pallas solver's slot-major layout across frames. Auto-eligible
+        # when the pallas solver owns collisions, the bin cache is on
+        # (rebin_interval > 1 — at interval 1 the per-frame rebin re-scatters
+        # everything anyway), and every ticking class's tick is layout-safe
+        # (behavior.probe_layout_safe).
+        use_residency = (
+            cfg.physics.position_residency != "off"
+            and cfg.physics.solver == "pallas"
+            and solver_geom is not None
+            and cfg.physics.rebin_interval > 1
+        )
+        force_specs: Tuple[Any, ...] = ()
+        pin_rows: Tuple[int, ...] = ()
+        if use_residency:
+            from .behavior import probe_layout_safe
+
+            specs = []
+            for reg in self.classes.values():
+                tick = getattr(reg.cls, "tick", None)
+                if reg.count == 0 or tick is None:
+                    continue
+                if probe_layout_safe(reg.cls, cfg):
+                    tf = (
+                        tick.__func__
+                        if isinstance(tick, (staticmethod, classmethod))
+                        else tick
+                    )
+                    specs.append((tf, reg.start_index, reg.count))
+                else:
+                    if cfg.physics.position_residency == "on":
+                        raise ValueError(
+                            "physics.position_residency='on' but "
+                            f"{reg.cls.__name__}.tick is not layout-safe "
+                            "(it reads beyond self x/y/ax/ay + inputs, or "
+                            "writes beyond rigid_body.ax/ay)"
+                        )
+                    use_residency = False
+                    break
+        if use_residency:
+            from .ops.physics_grid import resident_layout_shape
+
+            force_specs = tuple(specs)
+            if "Mouse" in self.classes and self.classes["Mouse"].count > 0:
+                pin_rows = (0,)  # apply_inputs writes entity 0 every frame
+            shape = resident_layout_shape(solver_geom)
+            w = self.world
+            if w.solver_x is None or w.solver_x.shape != shape:
+                self.world = w.replace(
+                    solver_x=jnp.zeros(shape, jnp.float32),
+                    solver_y=jnp.zeros(shape, jnp.float32),
+                    solver_px=jnp.zeros(shape, jnp.float32),
+                    solver_py=jnp.zeros(shape, jnp.float32),
+                    solver_maxv=jnp.zeros(shape, jnp.float32),
+                    solver_pos_step=jnp.int32(-1),
+                )
+            else:
+                self.world = w.replace(solver_pos_step=jnp.int32(-1))
+        self._residency_on = use_residency
 
         n = self.world.n_entities
         write_inputs = apply_inputs
@@ -1254,7 +1395,13 @@ class Engine:
         def one_step_impl(
             world: World, inputs: InputState,
             frame_counts, decal_textures,
+            *, residency: bool = use_residency,
         ):
+            # ``residency`` is a STATIC trace-time switch: FramePlan chunk
+            # programs trace with residency=False (their in-loop column
+            # writes land in entity order, which the non-resident path keeps
+            # authoritative; the stale layout auto-invalidates because plan
+            # frames advance step_count past solver_pos_step)
             world = write_inputs(world, inputs)
             t, c = world.transform, world.collider
             if need_neighbors:
@@ -1308,14 +1455,24 @@ class Engine:
                 world, nbr, inputs, cfg, type_ranges, payload_channels
             )
             world = advance_animation(world, frame_counts, cfg.dt_ratio)
-            world, solver_overflow = physics_step(
-                world,
-                nbr if (need_neighbors and not per_class_nbr) else None,
-                cfg,
-                cfg.dt_ratio,
-                solver_geom=solver_geom,
-                return_overflow=True,
-            )
+            if residency:
+                from .ops.physics import update_derived
+                from .ops.physics_grid import resident_persistent_step
+
+                world, _nb_solver, solver_overflow = resident_persistent_step(
+                    world, cfg, solver_geom, inputs, force_specs,
+                    cfg.dt_ratio, pin_rows,
+                )
+                world = update_derived(world, cfg)
+            else:
+                world, solver_overflow = physics_step(
+                    world,
+                    nbr if (need_neighbors and not per_class_nbr) else None,
+                    cfg,
+                    cfg.dt_ratio,
+                    solver_geom=solver_geom,
+                    return_overflow=True,
+                )
             # collision-pair recording for Enter/Stay/Exit callbacks:
             # evaluated from the spatial pass's payload (frame-start
             # positions/d2) — the same one-frame-stale pair set the
@@ -1516,6 +1673,39 @@ class Engine:
             # screen culling for entities (particle_worker.js:1012-1056)
             world = update_entity_visibility(world, cfg, inputs)
 
+            # onScreen Enter/Exit diffed ON DEVICE (logic_worker.js:534-554,
+            # round 4): compare against the carried prev_onscreen leaf and
+            # compact transition ids into one bounded packed array — works
+            # under chunked stepping and FramePlans (the event log carries
+            # per-frame copies), where the old host-side [N]-mask diff
+            # forced frame-at-a-time stepping (VERDICT r3 weak #7)
+            if cfg.logic.screen_events:
+                cap_s = cfg.logic.max_screen_events
+                cur = world.sprite.is_on_screen & world.transform.active
+                prev = world.prev_onscreen
+                gid_s = jnp.arange(n, dtype=jnp.int32)
+
+                def _compact_ids(mask):
+                    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+                    dest = jnp.where(mask & (rank < cap_s), rank, cap_s)
+                    tbl = jnp.full((cap_s,), -1, jnp.int32)
+                    tbl = tbl.at[dest].set(gid_s, mode="drop")
+                    return tbl, jnp.minimum(
+                        jnp.sum(mask, dtype=jnp.int32), cap_s
+                    )
+
+                se_tbl, se_n = _compact_ids(cur & ~prev)
+                sx_tbl, sx_n = _compact_ids(~cur & prev)
+                # same barrier discipline as the collision prev:=cur swap
+                # (axon aliasing workaround, see the events block above)
+                new_prev = jax.lax.optimization_barrier(cur)
+                world = world.replace(
+                    prev_onscreen=new_prev,
+                    screen_events_packed=jnp.concatenate(
+                        [se_n[None], sx_n[None], se_tbl, sx_tbl]
+                    ),
+                )
+
             # shadow sprites from lights × neighbor shadow casters
             # (particle_worker.js:861-1004; uses current-frame visibility —
             # the reference reads the previous frame's, an accepted stale
@@ -1580,6 +1770,14 @@ class Engine:
 
         self._one_step_raw = one_step
         self._one_step_impl = one_step_impl
+        # FramePlan chunks always run the non-resident variant (see the
+        # ``residency`` note in one_step_impl)
+        import functools
+
+        self._one_step_impl_plan = (
+            functools.partial(one_step_impl, residency=False)
+            if use_residency else one_step_impl
+        )
         self._step_fn = jax.jit(one_step_impl, donate_argnums=0)
         self._step_n_fn = jax.jit(n_steps, donate_argnums=0)
         self._event_chunk_fns = {}
@@ -1604,51 +1802,77 @@ class Engine:
 
     def _event_log_spec(self):
         """Event-LOG machinery shared by the chunked step programs (the
-        dynamic event chunk and the FramePlan chunk): per-frame
-        Enter/Stay/Exit tables + the participants' x/y/entity_type rows,
-        gathered in-program at that frame's post-step positions.
+        dynamic event chunk and the FramePlan chunk): per-frame event
+        tables + the participants' x/y/entity_type rows, gathered
+        in-program at that frame's post-step positions. Kinds are the
+        collision Enter/Stay/Exit pair tables (when collision_events) plus
+        the onScreen Enter/Exit id tables (when screen_events, round 4).
 
-        Returns (hooked3, caps, write_log, make_logs0, dropped_add):
-         - hooked3: which of (enter, stay, exit) has a registered hook —
-           a kind with no hook anywhere logs width-1 rows with the count
-           forced to 0 (no device writes, no tunnel transfer, no host loop);
+        Returns (specs, write_log, make_logs0, dropped_add):
+         - specs: tuple of (tag, cap, width, hooked) per logged kind — a
+           kind with no hook anywhere logs width-1-row placeholders with
+           the count forced to 0 (no device writes, no tunnel transfer,
+           no host loop). NOT zero-width: zero-sized buffers are elided by
+           the executable's calling convention and break the jax-level
+           buffer count;
          - write_log(logs, w, f): append frame f's tables to the log pytree;
          - make_logs0(zi, K): the [K, ...] log init derived from a traced
            zero (trace-created constants feed jax 0.9's nondeterministic
            constant-lifting path, see _build_step);
          - dropped_add(w, prev): accumulate truncated (beyond-cap) rows."""
-        cap = min(
-            self.config.logic.max_events_per_frame,
-            self.config.physics.max_collision_pairs,
-        )
-        if not self.config.logic.record_all_pairs:
-            # hook-scoped recording bounds pairs/frame by hooked rows × the
-            # per-row top-k cap — shrink the log (and its per-chunk tunnel
-            # transfer) to what recording can actually produce
-            from .ops.physics import PER_ENTITY
-
-            n_hooked = sum(
-                reg.count
-                for reg in self.classes.values()
-                if reg.count > 0 and self._class_has_hooks(reg.cls)
+        specs: List[Tuple[str, int, int, bool]] = []
+        if self.config.logic.collision_events:
+            cap = min(
+                self.config.logic.max_events_per_frame,
+                self.config.physics.max_collision_pairs,
             )
-            if n_hooked:
-                cap = min(cap, n_hooked * PER_ENTITY)
-        hooked3 = self._hooked3()
-        # width-1 placeholder (NOT zero-width: zero-sized buffers are elided
-        # by the executable's calling convention and break the jax-level
-        # buffer count) with the logged count forced to 0
-        caps = tuple(cap if h else 1 for h in hooked3)
+            if not self.config.logic.record_all_pairs:
+                # hook-scoped recording bounds pairs/frame by hooked rows ×
+                # the per-row top-k cap — shrink the log (and its per-chunk
+                # tunnel transfer) to what recording can actually produce
+                from .ops.physics import PER_ENTITY
 
-        def table_log(w, ids, count, cap_t, hooked):
-            j = jnp.maximum(ids, 0)  # [cap_t, 2]
+                n_hooked = sum(
+                    reg.count
+                    for reg in self.classes.values()
+                    if reg.count > 0 and self._class_has_hooks(reg.cls)
+                )
+                if n_hooked:
+                    cap = min(cap, n_hooked * PER_ENTITY)
+            for tag, h in zip(
+                ("c_enter", "c_stay", "c_exit"), self._hooked3()
+            ):
+                specs.append((tag, cap if h else 1, 2, h))
+        if self.config.logic.screen_events:
+            cap_s = self.config.logic.max_screen_events
+            for tag, h in zip(("s_enter", "s_exit"), self._screen_hooked2()):
+                specs.append((tag, cap_s if h else 1, 1, h))
+        specs = tuple(specs)
+
+        def _kind_table(w, tag, cap_t):
+            """(ids [cap_t, W], count) for a kind from the world's leaves."""
+            if tag == "c_enter":
+                return w.event_enter[:cap_t], w.event_enter_count
+            if tag == "c_stay":
+                return w.event_stay[:cap_t], w.event_stay_count
+            if tag == "c_exit":
+                return w.event_exit[:cap_t], w.event_exit_count
+            packed = w.screen_events_packed
+            full = (packed.shape[0] - 2) // 2
+            if tag == "s_enter":
+                return packed[2 : 2 + cap_t, None], packed[0]
+            return packed[2 + full : 2 + full + cap_t, None], packed[1]
+
+        def table_log(w, tag, cap_t, hooked):
+            ids, count = _kind_table(w, tag, cap_t)
+            j = jnp.maximum(ids, 0)  # [cap_t, W]
             coords = jnp.stack(
                 [
                     w.transform.x[j], w.transform.y[j],
                     w.transform.entity_type[j].astype(jnp.float32),
                 ],
                 axis=-1,
-            )  # [cap_t, 2, 3]
+            )  # [cap_t, W, 3]
             # w.step_count * 0, not jnp.int32(0): trace-created concrete
             # scalars feed the nondeterministic constant-lifting path
             cnt = jnp.minimum(count, cap_t) if hooked else w.step_count * 0
@@ -1656,14 +1880,16 @@ class Engine:
 
         def write_log(logs, w, f):
             row = jax.lax.optimization_barrier(
-                table_log(w, w.event_enter[: caps[0]], w.event_enter_count, caps[0], hooked3[0])
-                + table_log(w, w.event_stay[: caps[1]], w.event_stay_count, caps[1], hooked3[1])
-                + table_log(w, w.event_exit[: caps[2]], w.event_exit_count, caps[2], hooked3[2])
+                tuple(
+                    v
+                    for tag, cap_t, _w, hooked in specs
+                    for v in table_log(w, tag, cap_t, hooked)
+                )
             )
             out = []
-            for k3 in range(3):
-                ids, cnt, coords = row[3 * k3], row[3 * k3 + 1], row[3 * k3 + 2]
-                e, ne, ec = logs[3 * k3], logs[3 * k3 + 1], logs[3 * k3 + 2]
+            for k in range(len(specs)):
+                ids, cnt, coords = row[3 * k], row[3 * k + 1], row[3 * k + 2]
+                e, ne, ec = logs[3 * k], logs[3 * k + 1], logs[3 * k + 2]
                 out += [
                     jax.lax.dynamic_update_slice(e, ids[None], (f, 0, 0)),
                     ne.at[f].set(cnt),
@@ -1675,25 +1901,24 @@ class Engine:
             zf = zi.astype(jnp.float32)
             return tuple(
                 buf
-                for cap_t in caps
+                for _tag, cap_t, w_t, _h in specs
                 for buf in (
-                    jnp.broadcast_to(zi - 1, (K, cap_t, 2)),
+                    jnp.broadcast_to(zi - 1, (K, cap_t, w_t)),
                     jnp.broadcast_to(zi, (K,)),
-                    jnp.broadcast_to(zf, (K, cap_t, 2, 3)),
+                    jnp.broadcast_to(zf, (K, cap_t, w_t, 3)),
                 )
             )
 
         def dropped_add(w, prev):
-            for cnt, cap_t, hooked in (
-                (w.event_enter_count, caps[0], hooked3[0]),
-                (w.event_stay_count, caps[1], hooked3[1]),
-                (w.event_exit_count, caps[2], hooked3[2]),
-            ):
-                if hooked:
+            for tag, cap_t, _w, hooked in specs:
+                # screen counts are clamped at compaction time — beyond-cap
+                # transitions there drop before the log sees them
+                if hooked and tag.startswith("c_"):
+                    _ids, cnt = _kind_table(w, tag, cap_t)
                     prev = prev + jnp.maximum(cnt - cap_t, 0)
             return prev
 
-        return hooked3, caps, write_log, make_logs0, dropped_add
+        return specs, write_log, make_logs0, dropped_add
 
     @staticmethod
     def _pack_logs(logs) -> jnp.ndarray:
@@ -1703,13 +1928,13 @@ class Engine:
         costs one round trip (ids < 2^24 are f32-exact)."""
         return jnp.concatenate([l.astype(jnp.float32).reshape(-1) for l in logs])
 
-    def _unpack_logs(self, buf, K: int, caps):
-        """Numpy inverse of _pack_logs given the chunk's caps/K."""
+    def _unpack_logs(self, buf, K: int, specs):
+        """Numpy inverse of _pack_logs given the chunk's kind specs/K."""
         buf = np.asarray(buf)
         out, off = [], 0
-        for cap_t in caps:
-            for shp, as_int in (((K, cap_t, 2), True), ((K,), True),
-                                ((K, cap_t, 2, 3), False)):
+        for _tag, cap_t, w_t, _h in specs:
+            for shp, as_int in (((K, cap_t, w_t), True), ((K,), True),
+                                ((K, cap_t, w_t, 3), False)):
                 size = int(np.prod(shp))
                 arr = buf[off : off + size].reshape(shp)
                 out.append(arr.astype(np.int32) if as_int else arr)
@@ -1742,9 +1967,9 @@ class Engine:
         if fn is not None:
             return fn
         K = max(1, self.config.logic.event_chunk)
-        hooked3, caps, write_log, make_logs0, dropped_add = self._event_log_spec()
-        self._event_chunk_fns["hooked"] = hooked3
-        self._event_chunk_fns["caps"] = caps
+        specs, write_log, make_logs0, dropped_add = self._event_log_spec()
+        self._event_chunk_fns["hooked"] = self._hooked3() + self._screen_hooked2()
+        self._event_chunk_fns["caps"] = specs
         self._event_chunk_fns["K"] = K
         one_step_impl = self._one_step_impl
 
@@ -1816,13 +2041,14 @@ class Engine:
         k_cfg = self.config.logic.event_chunk
         remaining = n
         metrics = self.metrics
-        has_hooks = self._has_collision_hooks()
+        has_hooks = self._has_collision_hooks() or any(self._screen_hooked2())
         # a hook registered/removed AFTER the first chunk changes which
         # tables must be logged: rebuild the chunk program instead of
         # silently never firing the late hook (ADVICE r2)
         if (
             "dyn" in self._event_chunk_fns
-            and self._event_chunk_fns.get("hooked") != self._hooked3()
+            and self._event_chunk_fns.get("hooked")
+            != self._hooked3() + self._screen_hooked2()
         ):
             self.timeline.log(
                 "collision hooks changed after first event chunk: "
@@ -1850,29 +2076,48 @@ class Engine:
         self.metrics = metrics
         return metrics
 
-    def _dispatch_logged_events(self, packed, k: int, K: int, caps) -> None:
+    def _dispatch_logged_events(self, packed, k: int, K: int, specs) -> None:
         """Pull a chunk program's PACKED event log (one array — one tunnel
         round trip, see _pack_logs) and fire the per-frame hooks (the host
-        half of the device event log, logic_worker.js:429-443)."""
-        (
-            enter, n_e, e_co, stay, n_s, s_co, exit_, n_x, x_co,
-        ) = self._unpack_logs(jax.device_get(packed), K, caps)
-        if int(n_e[:k].sum() + n_s[:k].sum() + n_x[:k].sum()):
+        half of the device event log, logic_worker.js:429-443). Collision
+        kinds dispatch through CollisionEventCtx; screen kinds fire the
+        per-id on_screen_enter/exit hooks."""
+        flat = self._unpack_logs(jax.device_get(packed), K, specs)
+        by_tag = {
+            spec[0]: (flat[3 * i], flat[3 * i + 1], flat[3 * i + 2])
+            for i, spec in enumerate(specs)
+        }
+        counts = {tag: v[1] for tag, v in by_tag.items()}
+        if any(int(c[:k].sum()) for c in counts.values()):
+            has_coll = "c_enter" in by_tag
+            has_scr = "s_enter" in by_tag
             for f in range(k):
-                ce, cs, cx = int(n_e[f]), int(n_s[f]), int(n_x[f])
-                if not (ce or cs or cx):
-                    continue
-                ctx = CollisionEventCtx.from_logged(
-                    self,
-                    [
-                        (enter[f, :ce], e_co[f, :ce]),
-                        (stay[f, :cs], s_co[f, :cs]),
-                        (exit_[f, :cx], x_co[f, :cx]),
-                    ],
-                )
-                self._fire_collision_tables(
-                    ctx, enter[f, :ce], stay[f, :cs], exit_[f, :cx],
-                )
+                if has_coll:
+                    (enter, n_e, e_co) = by_tag["c_enter"]
+                    (stay, n_s, s_co) = by_tag["c_stay"]
+                    (exit_, n_x, x_co) = by_tag["c_exit"]
+                    ce, cs, cx = int(n_e[f]), int(n_s[f]), int(n_x[f])
+                    if ce or cs or cx:
+                        ctx = CollisionEventCtx.from_logged(
+                            self,
+                            [
+                                (enter[f, :ce], e_co[f, :ce]),
+                                (stay[f, :cs], s_co[f, :cs]),
+                                (exit_[f, :cx], x_co[f, :cx]),
+                            ],
+                        )
+                        self._fire_collision_tables(
+                            ctx, enter[f, :ce], stay[f, :cs], exit_[f, :cx],
+                        )
+                if has_scr:
+                    (s_en, n_se, _), (s_ex, n_sx, _) = (
+                        by_tag["s_enter"], by_tag["s_exit"],
+                    )
+                    cse, csx = int(n_se[f]), int(n_sx[f])
+                    if cse or csx:
+                        self._fire_screen_tables(
+                            s_en[f, :cse, 0], s_ex[f, :csx, 0]
+                        )
         # hook control-plane effects land before the next chunk
         self._flush_pending()
         self._flush_emissions()
@@ -1904,12 +2149,12 @@ class Engine:
             self._build_step()  # also rebuilds stale _plan_fns
         self._flush_pending()
         self._flush_emissions()
-        if self.config.logic.screen_events:
-            # screen Enter/Exit needs a host visibility diff per frame:
-            # run the plan frame-at-a-time (correct, not dispatch-amortized)
-            return self._run_plan_per_frame(plan)
+        # screen Enter/Exit rides the device event log like collision
+        # events (round 4) — plans no longer force frame-at-a-time stepping
         events_on = (
             self.config.logic.collision_events and self._has_collision_hooks()
+        ) or (
+            self.config.logic.screen_events and any(self._screen_hooked2())
         )
         metrics = self.metrics
         pos = 0
@@ -1948,8 +2193,10 @@ class Engine:
             lambda *xs: np.stack([np.asarray(x) for x in xs]), *snaps
         )
 
-        hooked3 = self._hooked3() if events_on else ()
-        key = (names, tuple(buckets), K, events_on, hooked3)
+        hooked = (
+            self._hooked3() + self._screen_hooked2() if events_on else ()
+        )
+        key = (names, tuple(buckets), K, events_on, hooked)
         fn = self._plan_fns.get(key)
         fresh = fn is None
         if fresh:
@@ -1962,7 +2209,7 @@ class Engine:
         self.world = world
         if events_on:
             self._dispatch_logged_events(
-                logs, F, K, self._event_log_spec()[1]
+                logs, F, K, self._event_log_spec()[0]
             )
         if not fresh:
             self.timer.record((time.time() - t0) / F, F)
@@ -1971,9 +2218,9 @@ class Engine:
         return metrics
 
     def _build_plan_chunk(self, key, names, offs, K: int, events_on: bool):
-        one_step_impl = self._one_step_impl
+        one_step_impl = self._one_step_impl_plan
         if events_on:
-            _h3, _caps, write_log, make_logs0, dropped_add = self._event_log_spec()
+            _specs, write_log, make_logs0, dropped_add = self._event_log_spec()
         zero_metrics = self._zero_metrics
 
         def plan_chunk(world, idx_all, val_all, inputs_tl, nn,
@@ -1997,6 +2244,10 @@ class Engine:
                             vals, mode="drop"
                         ),
                     )
+                # same bin-cache invalidation as _apply_columns: plan-frame
+                # mutations re-bin next frame (drops despawn ghosts)
+                if names and w.solver_bin_step is not None:
+                    w = w.replace(solver_bin_step=w.step_count * 0 - 1)
                 inp = jax.tree_util.tree_map(
                     lambda a: jax.lax.dynamic_index_in_dim(a, f, 0, False),
                     inputs_tl,
@@ -2081,13 +2332,10 @@ class Engine:
             self.config.logic.collision_events or self.config.logic.screen_events
         )
         if events_on and n > 1:
-            if (
-                self.config.logic.collision_events
-                and self.config.logic.event_chunk > 1
-                and not self.config.logic.screen_events
-            ):
-                # device event log: every frame's transitions captured, one
-                # host roundtrip per event_chunk frames
+            if self.config.logic.event_chunk > 1:
+                # device event log: every frame's transitions (collision
+                # AND/OR screen, round 4) captured, one host roundtrip per
+                # event_chunk frames
                 if self._step_fn is None:
                     self._build_step()
                 metrics = self._step_events_chunked(n)
@@ -2163,19 +2411,37 @@ class Engine:
     # ------------------------------------------------------------------
     # onScreenEnter/Exit events (logic_worker.js:534-554)
     # ------------------------------------------------------------------
+    def _screen_hooked2(self) -> Tuple[bool, bool]:
+        """Which of (screen enter, screen exit) has a hook on any class."""
+        return tuple(
+            any(
+                getattr(reg.cls, h, None) is not None
+                for reg in self.classes.values()
+            )
+            for h in ("on_screen_enter", "on_screen_exit")
+        )
+
     def _dispatch_screen_events(self) -> None:
-        cur = np.asarray(jax.device_get(
-            self.world.sprite.is_on_screen & self.world.transform.active
-        ))
-        # the reference's per-worker prev-visibility arrays start zeroed
-        # (logic_worker.js:534-554), so the first visible frame fires Enter
-        prev = self._prev_onscreen
-        self._prev_onscreen = cur
-        if prev is None:
-            prev = np.zeros_like(cur)
-        entered = np.nonzero(cur & ~prev)[0]
-        exited = np.nonzero(~cur & prev)[0]
-        for indices, hook_name in ((entered, "on_screen_enter"), (exited, "on_screen_exit")):
+        """Pull the step's packed transition table (ONE bounded array — the
+        device diffed visibility against the carried prev_onscreen leaf)
+        and fire the hooks. The reference's per-worker prev arrays start
+        zeroed (logic_worker.js:534-554), matching prev_onscreen's init:
+        the first visible frame fires Enter."""
+        if not any(self._screen_hooked2()):
+            return
+        packed = np.asarray(jax.device_get(self.world.screen_events_packed))
+        cap_s = (packed.size - 2) // 2
+        n_e, n_x = int(packed[0]), int(packed[1])
+        if not (n_e or n_x):
+            return
+        entered = packed[2 : 2 + n_e]
+        exited = packed[2 + cap_s : 2 + cap_s + n_x]
+        self._fire_screen_tables(entered, exited)
+
+    def _fire_screen_tables(self, entered, exited) -> None:
+        for indices, hook_name in (
+            (entered, "on_screen_enter"), (exited, "on_screen_exit"),
+        ):
             for i in indices:
                 hook = getattr(self._class_of_index(int(i)).cls, hook_name, None)
                 if hook is not None:
@@ -2276,6 +2542,7 @@ class Engine:
         step programs (checked at step time when events are on)."""
         return (
             self._hooked3(),
+            self._screen_hooked2(),
             tuple(
                 name
                 for name, reg in self.classes.items()
@@ -2288,7 +2555,7 @@ class Engine:
         the first build (ADVICE r2: a late hook must fire, not be silently
         ignored by the cached recording scope / log widths)."""
         if (
-            self.config.logic.collision_events
+            (self.config.logic.collision_events or self.config.logic.screen_events)
             and self._step_fn is not None
             and self._events_sig_built != self._events_signature()
         ):
@@ -2414,7 +2681,6 @@ class Engine:
         self._plan_fns = {}
         self._initialized = False
         self._pending_ops.clear()
-        self._prev_onscreen = None
         self.emitter.clear()
         for reg in self.classes.values():
             reg.pool = EntityPool(reg.start_index, reg.count)
@@ -2430,6 +2696,8 @@ class Engine:
     # snapshot / restore (SURVEY.md §5.4 — free because state is one pytree)
     # ------------------------------------------------------------------
     def snapshot(self):
+        # NOTE: needs no residency special-casing — the resident step's
+        # readback keeps entity-order x/y/px/py current every frame
         self._flush_pending()  # reflect queued spawns/despawns
         return jax.device_get(self.world)
 

@@ -121,6 +121,17 @@ class InputController:
             self.camera_zoom = float(zoom)
         self._snapshot_cache = None
 
+    def zoom_at(self, screen_x: float, screen_y: float, factor: float) -> None:
+        """Wheel zoom-to-cursor (gameEngine.js:1426-1450): multiply the zoom
+        by ``factor`` while keeping the world point under the given SCREEN
+        coordinate fixed — the camera recenters toward the cursor."""
+        wx = self.camera_x + screen_x / self.camera_zoom
+        wy = self.camera_y + screen_y / self.camera_zoom
+        self.camera_zoom *= float(factor)
+        self.camera_x = wx - screen_x / self.camera_zoom
+        self.camera_y = wy - screen_y / self.camera_zoom
+        self._snapshot_cache = None
+
     @property
     def mouse_is_down(self) -> bool:
         return self.mouse_buttons[0]

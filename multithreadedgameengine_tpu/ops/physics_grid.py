@@ -310,7 +310,15 @@ def resident_tile_rows(cap: int, cols_pad: int) -> int:
     scoped against a 111.4 MiB limit (compile-time OOM) while tr=16 fits.
     The scoped stack tracks ~2.2x the analytic scratch footprint
     (8 halo tiles + 3 accumulators + double-buffered outputs), so pick the
-    widest tile whose projected stack stays under 100 MiB."""
+    widest tile whose projected stack stays under 100 MiB.
+
+    The 8-buffer halo term deliberately over-counts for the predicated
+    symmetric kernel (pair_pass_resident dropped its 4 rolled scratch
+    buffers): both kernel variants must pick the SAME tile height because
+    resident_layout_shape — and therefore the world's cached
+    solver_grad/solver_meta shapes — derives from this function, and a
+    per-variant estimate would recompile/reshape the caches when
+    solver_predicated flips at runtime (advisor r3)."""
     from .pallas_kernels import HALO
 
     for tr in (32, 16, 8):
@@ -369,6 +377,62 @@ def _cached_bins(world: World, cfg: EngineConfig, compute):
         ).astype(jnp.int32),
     )
     return world, flat, in_grid
+
+
+def _resident_substeps(
+    gx, gy, gpx, gpy, grad, meta, g_moving, cfg, tr, n_tiles,
+    salt, use_symmetric, interp, carry_px,
+):
+    """The shared substep loop of the resident solver paths: boundary clamp
+    + Pallas pair pass, in the slot-major layout. ``carry_px=False`` runs the
+    NaN-carry px variant (see grid_constraints_resident's px/py notes);
+    ``True`` applies the full reflected-bounce _boundary to real px/py."""
+    from .pallas_kernels import HALO, pair_pass_resident
+
+    ph = cfg.physics
+    strength = float(ph.collision_response_strength)
+    elasticity = ph.boundary_elasticity
+
+    def substep(_k, carry):
+        gx, gy, gpx, gpy, cnt = carry
+        if carry_px:
+            gx, gpx = _boundary(gx, gpx, grad, cfg.world_width, g_moving, elasticity)
+            gy, gpy = _boundary(gy, gpy, grad, cfg.world_height, g_moving, elasticity)
+        else:
+            cx = jnp.clip(gx, grad, cfg.world_width - grad)
+            gpx = jnp.where(g_moving & (cx != gx), cx, gpx)
+            gx = jnp.where(g_moving, cx, gx)
+            cy = jnp.clip(gy, grad, cfg.world_height - grad)
+            gpy = jnp.where(g_moving & (cy != gy), cy, gpy)
+            gy = jnp.where(g_moving, cy, gy)
+        nx, ny, c_ = pair_pass_resident(
+            gx, gy, grad, meta, salt, strength,
+            tile_rows=tr, interpret=interp,
+            symmetric=use_symmetric,
+        )
+        # full-height concat beats dynamic_update_slice here (measured 24.25
+        # vs 23.55 steps/s at 1M — the in-place DUS forces a copy of the
+        # carried buffer plus a read-modify-write on the count plane)
+        pad = ((0, 0), (HALO, HALO), (0, 0))
+        return (
+            jnp.concatenate([gx[:, :HALO], nx, gx[:, HALO + n_tiles * tr:]], axis=1),
+            jnp.concatenate([gy[:, :HALO], ny, gy[:, HALO + n_tiles * tr:]], axis=1),
+            gpx, gpy,
+            cnt + jnp.pad(c_, pad),
+        )
+
+    # STATIC UNROLL: sub_step_count is a small static (2 in the balls demo).
+    # A fori_loop here materializes the 5-array layout carry on entry
+    # (measured 14.9 ms at 1M — benchmarks/profile_solver_parts.py: first
+    # substep 26.8 ms vs 11.9 for the second); unrolling lets XLA fuse the
+    # NaN-carry inits and count zeros into the substep bodies instead.
+    carry = (gx, gy, gpx, gpy, meta * 0)
+    if ph.sub_step_count <= 8:
+        for k in range(ph.sub_step_count):
+            carry = substep(k, carry)
+    else:
+        carry = jax.lax.fori_loop(0, ph.sub_step_count, substep, carry)
+    return carry
 
 
 def grid_constraints_resident(
@@ -525,46 +589,10 @@ def grid_constraints_resident(
         gpx = jnp.full((cap, rows_buf, cp), jnp.nan, jnp.float32)
         gpy = jnp.full((cap, rows_buf, cp), jnp.nan, jnp.float32)
 
-    def substep(_k, carry):
-        gx, gy, gpx, gpy, cnt = carry
-        if carry_px:
-            gx, gpx = _boundary(gx, gpx, grad, cfg.world_width, g_moving, elasticity)
-            gy, gpy = _boundary(gy, gpy, grad, cfg.world_height, g_moving, elasticity)
-        else:
-            cx = jnp.clip(gx, grad, cfg.world_width - grad)
-            gpx = jnp.where(g_moving & (cx != gx), cx, gpx)
-            gx = jnp.where(g_moving, cx, gx)
-            cy = jnp.clip(gy, grad, cfg.world_height - grad)
-            gpy = jnp.where(g_moving & (cy != gy), cy, gpy)
-            gy = jnp.where(g_moving, cy, gy)
-        nx, ny, c_ = pair_pass_resident(
-            gx, gy, grad, meta, salt, strength,
-            tile_rows=tr, interpret=interp,
-            symmetric=use_symmetric,
-        )
-        # full-height concat beats dynamic_update_slice here (measured 24.25
-        # vs 23.55 steps/s at 1M — the in-place DUS forces a copy of the
-        # carried buffer plus a read-modify-write on the count plane)
-        pad = ((0, 0), (HALO, HALO), (0, 0))
-        return (
-            jnp.concatenate([gx[:, :HALO], nx, gx[:, HALO + n_tiles * tr:]], axis=1),
-            jnp.concatenate([gy[:, :HALO], ny, gy[:, HALO + n_tiles * tr:]], axis=1),
-            gpx, gpy,
-            cnt + jnp.pad(c_, pad),
-        )
-
-    # STATIC UNROLL: sub_step_count is a small static (2 in the balls demo).
-    # A fori_loop here materializes the 5-array layout carry on entry
-    # (measured 14.9 ms at 1M — benchmarks/profile_solver_parts.py: first
-    # substep 26.8 ms vs 11.9 for the second); unrolling lets XLA fuse the
-    # NaN-carry inits and count zeros into the substep bodies instead.
-    carry = (gx, gy, gpx, gpy, meta * 0)
-    if ph.sub_step_count <= 8:
-        for k in range(ph.sub_step_count):
-            carry = substep(k, carry)
-    else:
-        carry = jax.lax.fori_loop(0, ph.sub_step_count, substep, carry)
-    gx, gy, gpx, gpy, g_count = carry
+    gx, gy, gpx, gpy, g_count = _resident_substeps(
+        gx, gy, gpx, gpy, grad, meta, g_moving, cfg, tr, n_tiles,
+        salt, use_symmetric, interp, carry_px,
+    )
 
     # read back: one channel-stacked row gather. Measured at 1M on v5e:
     # 5 per-field [1M]-index gathers cost ~28 ms MORE than stacking
@@ -674,3 +702,231 @@ def grid_constraints(
     )
     overflow = jnp.sum(over, dtype=jnp.int32)
     return world, jnp.sum(binned, dtype=jnp.int32), overflow
+
+
+def resident_persistent_step(
+    world: World,
+    cfg: EngineConfig,
+    geom: GridGeom,
+    inputs,
+    force_specs,
+    dt_ratio: float,
+    pin_rows: Tuple[int, ...] = (),
+) -> Tuple[World, jnp.ndarray, jnp.ndarray]:
+    """Verlet move + constraints with LAYOUT-RESIDENT positions
+    (physics.position_residency): x/y/px/py live in the pair kernel's
+    slot-major layout [cap, rows_buf, Cp] ACROSS frames (world.solver_x/y/
+    px/py), so the per-frame entity→layout position scatters — measured
+    ~13 ms/frame of the 36 ms 1M-entity floor on v5e (docs/parity_status.md)
+    — only run on layout (re)build frames. Replaces verlet_move +
+    grid_constraints for qualified scenes (behavior.probe_layout_safe);
+    ``update_derived`` still runs after.
+
+    Per frame, one of two regimes (one in-program cond):
+      - FAST (layout fresh AND bins unexpired): tick forces
+        (``force_specs``) and the Verlet integrate evaluate directly over
+        layout slots (behavior.eval_layout_forces) — no scatters, no
+        binning.
+      - REBUILD (bins expired, first frame, host mutation invalidated the
+        cache, or a non-resident program advanced step_count): bins come
+        from the entity-order post-move positions (cached slots when only
+        the layout is stale), and x/y/px/py scatter into the layout.
+
+    The entity-order Verlet (``w_e``) runs every frame regardless — cheap
+    elementwise — and is EXACT, because the readback keeps entity-order
+    x/y/px/py current every frame (px/py ride the same channel-stacked
+    row gather as x/y for ~0.3 ms at 1M — the price of never needing a
+    host-side sync). It supplies vx/vy (bit-identical to a layout
+    evaluation: same formula, same inputs), the rebuild scatter values,
+    and the out-of-grid overflow fallback. Host code therefore sees fully
+    current entity state at all times; host mutations only need the bin
+    cache invalidated (Engine._apply_columns does), which routes the next
+    frame through REBUILD.
+
+    Bit-exactness vs position_residency='off': the FAST branch applies the
+    same elementwise formulas (verlet_move, physics_worker.js:240-316) to
+    the same values, and the real-px boundary is algebraically identical
+    to the 'off' path's NaN-carry variant at elasticity 0 —
+    tests/test_round4.py asserts whole-trajectory equality including px/py.
+
+    Returns (world, n_binned, overflow_count).
+    """
+    from .physics import verlet_move
+    from ..behavior import eval_layout_forces
+
+    ph = cfg.physics
+    interval = max(2, ph.rebin_interval)
+    R, C, cap = geom.rows, geom.cols, geom.capacity
+    cp = -(-(C + 2) // 128) * 128
+    tr = resident_tile_rows(cap, cp)
+    n_tiles = -(-R // tr)
+    from .pallas_kernels import HALO
+
+    rows_buf = n_tiles * tr + 2 * HALO
+    total = cap * rows_buf * cp
+    n = world.transform.x.shape[0]
+    if n >= (1 << 24):
+        raise ValueError("resident solver packs entity ids into meta: N < 2^24")
+    if world.solver_x is None or world.solver_x.shape != (cap, rows_buf, cp):
+        raise ValueError(
+            "position residency requires Engine-installed solver_x/y/px/py "
+            "layout leaves at the current geometry"
+        )
+
+    # entity-order Verlet — exact every frame (see docstring); also zeroes
+    # ax/ay for moving rows, keeping the reference's "ax consumed every
+    # frame" semantics for the NEXT tick's ctx.ax reads
+    w_e = verlet_move(world, cfg, dt_ratio)
+    te, rbe = w_e.transform, w_e.rigid_body
+    c = world.collider
+    moving_e = te.active & rbe.active & ~rbe.static
+    finite = jnp.isfinite(te.x) & jnp.isfinite(te.y)
+    valid_e = te.active & finite
+
+    pos_valid = world.solver_pos_step == world.step_count
+    fresh_for = world.step_count - world.solver_bin_step
+    expired = (world.solver_bin_step < 0) | (fresh_for >= interval)
+
+    def scat_at(flat_idx, vals, dtype=jnp.float32):
+        return (
+            jnp.zeros((total,), dtype)
+            .at[flat_idx]
+            .set(vals.astype(dtype), mode="drop", unique_indices=True)
+            .reshape(cap, rows_buf, cp)
+        )
+
+    def _fast():
+        """Layout fresh + bins unexpired: Verlet in layout space."""
+        flat0, in_grid0 = world.solver_flat, world.solver_in_grid
+        grad0, meta0, maxv0 = (
+            world.solver_grad, world.solver_meta, world.solver_maxv
+        )
+        gx0, gy0 = world.solver_x, world.solver_y
+        gpx0, gpy0 = world.solver_px, world.solver_py
+
+        # pin host-driven rows (the mouse, written by apply_inputs in
+        # entity order every frame): one tiny scatter refreshes their
+        # layout position — same "current positions in stale slots"
+        # semantics as the scatter-per-frame bin cache
+        for r in pin_rows:
+            fr = jnp.where(in_grid0[r], flat0[r], total)
+            gx0 = gx0.reshape(total).at[fr].set(te.x[r], mode="drop").reshape(gx0.shape)
+            gy0 = gy0.reshape(total).at[fr].set(te.y[r], mode="drop").reshape(gy0.shape)
+
+        gid0 = meta0 & 0xFFFFFF
+        gax, gay = eval_layout_forces(
+            force_specs, gx0, gy0, gid0, inputs, cfg
+        )
+        mv = ((meta0 >> 24) & 8) != 0
+        damping = jnp.float32(ph.verlet_damping)
+        gscale = jnp.float32(dt_ratio) ** 2
+        grav_x, grav_y = ph.gravity
+        dx = (gx0 - gpx0) * damping + gscale * grav_x + gax * dt_ratio
+        dy = (gy0 - gpy0) * damping + gscale * grav_y + gay * dt_ratio
+        max_speed = jnp.where(maxv0 > 0, maxv0, 100.0)
+        dx = jnp.clip(dx, -max_speed, max_speed)
+        dy = jnp.clip(dy, -max_speed, max_speed)
+        gx1 = jnp.where(mv, gx0 + dx, gx0)
+        gy1 = jnp.where(mv, gy0 + dy, gy0)
+        gpx1 = jnp.where(mv, gx0, gpx0)
+        gpy1 = jnp.where(mv, gy0, gpy0)
+        return (
+            flat0, in_grid0, grad0, meta0, maxv0, gx1, gy1, gpx1, gpy1,
+        )
+
+    def _rebuild():
+        """Layout stale and/or bins expired: (re)bin from the entity-order
+        post-move state and scatter it in — today's classic path."""
+
+        def _fresh_bins():
+            bins = bin_entities(te.x, te.y, valid_e, geom, build_table=False)
+            in_grid = valid_e & (bins.rank < cap)
+            rank_safe = jnp.where(in_grid, bins.rank, 0)
+            flat = (rank_safe * rows_buf + (HALO + bins.row)) * cp + (1 + bins.col)
+            flat = jnp.where(in_grid, flat, total)
+            grad = scat_at(flat, c.radius)
+            flags = (
+                c.active.astype(jnp.int32)
+                | (c.is_trigger.astype(jnp.int32) << 1)
+                | (rbe.static.astype(jnp.int32) << 2)
+                | (te.active & rbe.active & ~rbe.static).astype(jnp.int32) << 3
+            )
+            gid = jnp.arange(n, dtype=jnp.int32)
+            meta = scat_at(flat, gid | (flags << 24), jnp.int32)
+            maxv = scat_at(flat, rbe.max_vel)
+            return flat, in_grid, grad, meta, maxv
+
+        flat, in_grid, grad, meta, maxv = jax.lax.cond(
+            expired,
+            _fresh_bins,
+            lambda: (
+                world.solver_flat, world.solver_in_grid,
+                world.solver_grad, world.solver_meta, world.solver_maxv,
+            ),
+        )
+        return (
+            flat, in_grid, grad, meta, maxv,
+            scat_at(flat, te.x), scat_at(flat, te.y),
+            scat_at(flat, rbe.px), scat_at(flat, rbe.py),
+        )
+
+    (
+        flat, in_grid, grad, meta, maxv, gx, gy, gpx, gpy,
+    ) = jax.lax.cond(pos_valid & ~expired, _fast, _rebuild)
+
+    g_moving = ((meta >> 24) & 8) != 0
+    salt = world.step_count.astype(jnp.uint32)
+    interp = jax.default_backend() != "tpu"
+    use_symmetric = bool(ph.solver_symmetric) and (
+        ph.solver_predicated == "on"
+        or (ph.solver_predicated == "auto" and cp >= 512)
+    )
+
+    gx, gy, gpx, gpy, g_count = _resident_substeps(
+        gx, gy, gpx, gpy, grad, meta, g_moving, cfg, tr, n_tiles,
+        salt, use_symmetric, interp, carry_px=True,
+    )
+
+    # readback: x/y/px/py/count to entity order — px/py riding the same
+    # stacked row gather keeps entity order FULLY current (no host sync
+    # machinery; snapshots/checkpoints/mutations read/write live state)
+    out_flat = jnp.stack(
+        [gx, gy, gpx, gpy, g_count.astype(jnp.float32)], axis=-1
+    ).reshape(total, 5)
+    rows = out_flat[jnp.where(in_grid, flat, 0)]
+    new_x = jnp.where(in_grid, rows[:, 0], te.x)
+    new_y = jnp.where(in_grid, rows[:, 1], te.y)
+    new_px = jnp.where(in_grid, rows[:, 2], rbe.px)
+    new_py = jnp.where(in_grid, rows[:, 3], rbe.py)
+    new_count = jnp.where(in_grid, rows[:, 4].astype(jnp.int32), 0)
+
+    # overflow entities: boundary-only fallback in entity order (as the
+    # non-persistent paths)
+    over = valid_e & ~in_grid
+    fx, fpx = _boundary(te.x, rbe.px, c.radius, cfg.world_width, moving_e & over, ph.boundary_elasticity)
+    fy, fpy = _boundary(te.y, rbe.py, c.radius, cfg.world_height, moving_e & over, ph.boundary_elasticity)
+    new_x = jnp.where(over, fx, new_x)
+    new_y = jnp.where(over, fy, new_y)
+    new_px = jnp.where(over, fpx, new_px)
+    new_py = jnp.where(over, fpy, new_py)
+
+    bin_step = jnp.where(expired, world.step_count, world.solver_bin_step)
+    world = w_e.replace(
+        transform=te.replace(x=new_x, y=new_y),
+        rigid_body=rbe.replace(
+            px=new_px, py=new_py, collision_count=new_count,
+        ),
+        solver_flat=flat,
+        solver_in_grid=in_grid,
+        solver_grad=grad,
+        solver_meta=meta,
+        solver_maxv=maxv,
+        solver_x=gx,
+        solver_y=gy,
+        solver_px=gpx,
+        solver_py=gpy,
+        solver_bin_step=bin_step.astype(jnp.int32),
+        solver_pos_step=(world.step_count + 1).astype(jnp.int32),
+    )
+    overflow = jnp.sum(over, dtype=jnp.int32)
+    return world, jnp.sum(in_grid, dtype=jnp.int32), overflow

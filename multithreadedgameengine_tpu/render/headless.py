@@ -7,11 +7,18 @@ BACKGROUND(0) / DECALS(1) / SHADOWS(2) / ENTITIES(3) / LIGHTING(4)
 
  - decal canvas alpha-blended over the background,
  - shadow sprites as rotated dark ellipses,
- - entities as tinted circles sized by collider radius (sprite atlas drawing
-   is the browser renderer's job; this view is for verification/screenshots),
+ - entities as REAL atlas sprites when ``engine.atlas`` is loaded
+   (Engine.load_assets): frame resolved from spritesheet_id /
+   animation_state / animation_frame exactly like the browser client
+   (static texture ids ride the animation lane when spritesheet_id == 0),
+   blitted with anchor/scale/rotation/tint/alpha (pixi_worker.js:807-960,
+   :1960-2003); tinted circles sized by collider radius remain the
+   fallback for entities without an atlas frame,
  - particles as small tinted dots with z-offset,
  - lighting as the same ``intensity/(intensity + d²)`` multiply pass the
-   GLSL shader applies (pixi_worker.js:1206-1249).
+   GLSL shader applies (pixi_worker.js:1206-1249),
+ - light GLOWS as additive radial-gradient splats above the lighting pass
+   (the _lightGradient sprite layer, pixi_worker.js:1433-1571).
 
 Everything renders in *world* coordinates through the camera transform used
 by the culling pass.
@@ -94,6 +101,94 @@ def _blend_disc(img, cx, cy, radius, color, alpha):
 
 def _tint_rgb(tint: int):
     return np.array([(tint >> 16) & 0xFF, (tint >> 8) & 0xFF, tint & 0xFF], np.float32)
+
+
+def _blit_sprite(img, frame_rgba, cx, cy, sx, sy, rot, ax, ay, tint, alpha):
+    """Alpha-over a (possibly rotated/scaled/tinted) atlas frame into img —
+    the CPU analog of one PIXI.Particle draw (anchor + scale + rotation +
+    tint + alpha, pixi_worker.js:807-960). Inverse-maps each destination
+    pixel into the frame (nearest sample), so arbitrary rotations need no
+    resampling pass."""
+    h, w = img.shape[:2]
+    fh, fw = frame_rgba.shape[:2]
+    if fh == 0 or fw == 0 or abs(sx) < 1e-6 or abs(sy) < 1e-6:
+        return
+    cos, sin = float(np.cos(rot)), float(np.sin(rot))
+    # dest-space corners of the scaled frame about the anchor
+    us = np.array([0.0, fw, 0.0, fw]) - ax * fw
+    vs = np.array([0.0, 0.0, fh, fh]) - ay * fh
+    lx, ly = us * sx, vs * sy
+    dx = lx * cos - ly * sin
+    dy = lx * sin + ly * cos
+    x0 = max(0, int(np.floor(cx + dx.min())))
+    x1 = min(w, int(np.ceil(cx + dx.max())) + 1)
+    y0 = max(0, int(np.floor(cy + dy.min())))
+    y1 = min(h, int(np.ceil(cy + dy.max())) + 1)
+    if x0 >= x1 or y0 >= y1:
+        return
+    yy, xx = np.mgrid[y0:y1, x0:x1].astype(np.float32)
+    rx, ry = xx - cx, yy - cy
+    # unrotate then unscale then unanchor → frame coords
+    u = (rx * cos + ry * sin) / sx + ax * fw
+    v = (-rx * sin + ry * cos) / sy + ay * fh
+    inside = (u >= 0) & (u < fw) & (v >= 0) & (v < fh)
+    ui = np.clip(u.astype(np.int32), 0, fw - 1)
+    vi = np.clip(v.astype(np.int32), 0, fh - 1)
+    src = frame_rgba[vi, ui].astype(np.float32)
+    tint_mul = _tint_rgb(tint) / 255.0
+    a = (src[..., 3] / 255.0) * float(np.clip(alpha, 0.0, 1.0)) * inside
+    region = img[y0:y1, x0:x1]
+    region[:] = region * (1 - a[..., None]) + (src[..., :3] * tint_mul) * a[..., None]
+
+
+def _add_glow(img, cx, cy, radius_px, color_rgb, strength=0.55):
+    """ADDITIVE radial-gradient splat — the light-glow sprite layer
+    (pixi_worker.js:1433-1571 drives _lightGradient sprites with
+    blendMode 'add'; utils.js:522-564 builds the gradient as a smooth
+    radial falloff, approximated here as (1 - d/r)²)."""
+    h, w = img.shape[:2]
+    r = max(2.0, float(radius_px))
+    x0, x1 = max(0, int(cx - r)), min(w, int(cx + r + 1))
+    y0, y1 = max(0, int(cy - r)), min(h, int(cy + r + 1))
+    if x0 >= x1 or y0 >= y1:
+        return
+    yy, xx = np.mgrid[y0:y1, x0:x1].astype(np.float32)
+    d = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+    g = np.clip(1.0 - d / r, 0.0, 1.0) ** 2
+    img[y0:y1, x0:x1] += g[..., None] * np.asarray(color_rgb, np.float32) * strength
+
+
+def _atlas_frame_map(engine):
+    """Numeric-id → atlas RGBA frame lookup, matching the browser client's
+    resolution rule (client.html:305): spritesheet_id > 0 resolves
+    sheets[sid][animation_state][animation_frame % n]; spritesheet_id == 0
+    resolves static textures by the id riding the animation_state lane."""
+    atlas = getattr(engine, "atlas", None)
+    if atlas is None:
+        return None
+    from ..server.render_server import atlas_payload
+
+    pay = atlas_payload(engine, atlas)
+
+    def cut(rect):
+        x, y, w, h = rect
+        return atlas.image[y:y + h, x:x + w]
+
+    sheets = {
+        sid: {a: [cut(r) for r in rects] for a, rects in anims.items()}
+        for sid, anims in pay["sheets"].items()
+    }
+    textures = {tid: cut(r) for tid, r in pay["textures"].items()}
+
+    def resolve(sheet_id, anim, frame):
+        if sheet_id == 0:
+            return textures.get(anim)
+        rects = sheets.get(sheet_id, {}).get(anim)
+        if not rects:
+            return None
+        return rects[frame % len(rects)]
+
+    return resolve
 
 
 # 3×5 bitmap micro-font (rows of 3 bits, top→bottom) for the headless text
@@ -192,19 +287,38 @@ def render_frame(
                 (0, 0, 0), min(float(ss.alpha[k]), 0.6),
             )
 
-    # ENTITIES layer (y-sorted tinted circles)
+    # ENTITIES layer (y-sorted): real atlas sprites when assets are loaded
+    # (anchor/scale/rotation/tint/alpha like the PixiJS particle sync,
+    # pixi_worker.js:807-960); tinted circles otherwise
     t, s, c = w.transform, w.sprite, w.collider
+    resolve_frame = _atlas_frame_map(engine)
     visible = np.asarray(t.active & s.active & s.render_visible & s.is_on_screen)
     order = np.argsort(np.where(visible, np.asarray(t.y), np.inf))[:max_entities]
     for i in order:
         if not visible[i]:
             break
         sx, sy = to_screen(float(t.x[i]), float(t.y[i]))
-        radius = float(c.radius[i]) if c.radius[i] > 0 else 4.0
-        _blend_disc(
-            img, sx, sy, radius * zoom, _tint_rgb(int(s.tint[i])),
-            float(s.alpha[i]),
+        frame = (
+            resolve_frame(
+                int(s.spritesheet_id[i]), int(s.animation_state[i]),
+                int(s.animation_frame[i]),
+            )
+            if resolve_frame is not None else None
         )
+        if frame is not None:
+            _blit_sprite(
+                img, frame, sx, sy,
+                float(s.scale_x[i]) * zoom, float(s.scale_y[i]) * zoom,
+                float(t.rotation[i]),
+                float(s.anchor_x[i]), float(s.anchor_y[i]),
+                int(s.tint[i]), float(s.alpha[i]),
+            )
+        else:
+            radius = float(c.radius[i]) if c.radius[i] > 0 else 4.0
+            _blend_disc(
+                img, sx, sy, radius * zoom, _tint_rgb(int(s.tint[i])),
+                float(s.alpha[i]),
+            )
 
     # PARTICLES (dots at y + z offset)
     p = w.particles
@@ -241,6 +355,18 @@ def render_frame(
                 light_rgb / norm, 1.0,
             )
             img = img * np.clip(light[..., None] * color, 0, 1.5)
+
+    # GLOW layer (additive _lightGradient sprites ABOVE the lighting
+    # multiply, z-layer 5 — pixi_worker.js:84-91, :1433-1571): one splat
+    # per active light, radius at the light's half-attenuation distance
+    # (d = sqrt(intensity) where intensity/(intensity+d²) = 1/2)
+    if cfg.lighting.enabled:
+        li = w.light
+        glow_idx = np.nonzero(np.asarray(w.transform.active & li.active))[0]
+        for k in glow_idx[: cfg.lighting.max_lights]:
+            gx_, gy_ = to_screen(float(w.transform.x[k]), float(w.transform.y[k]))
+            radius = float(np.sqrt(max(float(li.light_intensity[k]), 0.0))) * zoom
+            _add_glow(img, gx_, gy_, radius, _tint_rgb(int(li.light_color[k])))
 
     # DEBUG overlays (flag-gated Graphics pass, pixi_worker.js:337-646)
     flags = getattr(engine.debug, "flags", {})

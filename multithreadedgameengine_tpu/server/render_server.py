@@ -185,6 +185,8 @@ class RenderServer:
     def __init__(self, engine, host: str = "0.0.0.0", port: int = 8000,
                  atlas=None):
         self.engine = engine
+        if atlas is None:
+            atlas = getattr(engine, "atlas", None)  # engine.load_assets()
         self._frame: bytes = b""
         self._decal_png: bytes = b""
         self._atlas_png: bytes = b""
@@ -338,9 +340,10 @@ def build_demo_atlas(engine):
     """Pack procedurally generated character sheets + textures for every
     sheet/texture the engine registered (render/procgen.py — same frame
     layout and animation names as the reference's LPC art, no third-party
-    assets). The atlas frames key by the ENGINE registry's names, so
-    atlas_payload's numeric-id mapping lines up with device state."""
-    from ..render.atlas import create_big_atlas
+    assets), through the engine-level preload (Engine.load_assets — the
+    preloadAssets flow, gameEngine.js:805-889). The atlas frames key by
+    the ENGINE registry's names, so atlas_payload's numeric-id mapping
+    lines up with device state."""
     from ..render.procgen import make_character_sheet, make_demo_textures
 
     reg = engine.sprites
@@ -352,7 +355,9 @@ def build_demo_atlas(engine):
         name: img for name, img in make_demo_textures().items()
         if name in reg.textures
     }
-    return create_big_atlas(textures, sheets, size=2048)
+    return engine.load_assets(
+        images=textures, sheets=sheets, atlas_size=2048
+    )
 
 
 def run_scene(scene: str = "balls", n: int = 0, port: int = 8000,

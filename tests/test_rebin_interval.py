@@ -99,24 +99,30 @@ def test_chunked_and_single_stepping_share_the_cache():
     assert int(jax.device_get(b.world.solver_bin_step)) == 3
 
 
-def test_spawn_between_rebins_waits_for_next_rebin():
+def test_host_spawn_between_rebins_rebins_next_frame():
+    """Host mutations invalidate the bin cache (round 4): an entity spawned
+    mid-interval collides from its FIRST frame instead of degrading to
+    boundary-only until the next scheduled rebin (and host despawns drop
+    their ghost colliders the same way). Scheduled reuse between untouched
+    frames is pinned by the stamp asserts in the wiring tests above."""
     eng = disc_engine(5)
     ia = eng.spawn("Disc", x=110.0, y=75.0)
     eng.step(block=True)  # step 0: rebin with A alone
-    ib = eng.spawn("Disc", x=118.0, y=75.0)  # deep overlap, stale bins miss it
+    ib = eng.spawn("Disc", x=118.0, y=75.0)  # deep overlap
 
     def gap():
         p = positions(eng)
         return float(np.hypot(*(p[ib] - p[ia])))
 
     g0 = gap()
-    for _ in range(4):  # steps 1-4 reuse step-0 bins: B is boundary-only
-        eng.step(block=True)
-        assert gap() == pytest.approx(g0)
-    over = int(eng.metrics["solver_overflow"])
-    assert over >= 1  # B surfaced as degraded, not silently parked
-    eng.step(block=True)  # step 5: rebin — the overlap finally resolves
+    eng.step(block=True)  # spawn invalidated the cache: rebin picks B up now
     assert gap() > g0
+    assert int(eng.metrics["solver_overflow"]) == 0
+    # and the cache resumes: no further mutations -> stamp holds for the
+    # rest of the interval
+    stamp = int(jax.device_get(eng.world.solver_bin_step))
+    eng.step(3, block=True)
+    assert int(jax.device_get(eng.world.solver_bin_step)) == stamp
 
 
 def test_checkpoint_roundtrip_carries_bin_cache(tmp_path):
@@ -195,9 +201,9 @@ def test_checkpoint_saved_before_stepping_loads_into_stepped_engine(tmp_path):
 
 def test_runtime_raised_interval_activates_cache():
     """Raising rebin_interval via update_physics_config after construction
-    installs the cache fields on the next build and caches for real — an
-    entity spawned between rebins is invisible to the pair pass until the
-    next rebin, exactly as with a construction-time interval."""
+    installs the cache fields on the next build and caches for real: with
+    no mutations the stamp holds across the interval, and a host spawn
+    invalidates it (collides from its first frame, round-4 semantics)."""
     eng = disc_engine(1, "pallas")  # interval 1: no cache fields at init
     a, b = spawn_pair(eng)
     eng.step(block=True)
@@ -206,8 +212,13 @@ def test_runtime_raised_interval_activates_cache():
     eng.step(block=True)  # rebuild: installs + rebins fresh (stamp -1)
     assert eng.world.solver_flat is not None
     assert eng.world.solver_grad is not None
-    assert int(jax.device_get(eng.world.solver_bin_step)) >= 0
-    # spawn between rebins: stale bins don't include it (cached for real)
+    stamp = int(jax.device_get(eng.world.solver_bin_step))
+    assert stamp >= 0
+    eng.step(2, block=True)  # untouched frames reuse the cache
+    assert int(jax.device_get(eng.world.solver_bin_step)) == stamp
+    # host spawn between rebins: cache invalidated, collides immediately
     c = eng.spawn("Disc", x=110.0, y=75.0)  # overlapping a
+    p0 = positions(eng)
     eng.step(block=True)
-    assert int(eng.metrics["solver_overflow"]) >= 1
+    assert int(eng.metrics["solver_overflow"]) == 0
+    assert positions(eng)[c, 0] != pytest.approx(p0[c, 0])

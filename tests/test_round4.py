@@ -1,0 +1,440 @@
+"""Round-4 regression tests: vectorized pool claims, checkpoint stamp
+restore, and layout-resident positions (physics.position_residency)."""
+
+import numpy as np
+import pytest
+
+from multithreadedgameengine_tpu.state import EntityPool
+
+
+RES_PHYSICS = dict(
+    sub_step_count=2, max_collision_pairs=1, verlet_damping=0.99,
+    boundary_elasticity=0.0, collision_response_strength=0.8,
+    gravity=(0.0, 0.5), rebin_interval=3, solver="pallas",
+    solver_predicated="on",
+)
+
+
+def _res_engine(residency: str, n=250, seed=11, **phys):
+    from multithreadedgameengine_tpu.models.balls import make_balls_engine
+
+    return make_balls_engine(
+        n_balls=n, seed=seed,
+        physics=dict(RES_PHYSICS, position_residency=residency, **phys),
+    )
+
+
+def _assert_worlds_equal(a, b, tag=""):
+    sa, sb = a.snapshot(), b.snapshot()
+    for path in (
+        "transform.x", "transform.y", "transform.active",
+        "rigid_body.px", "rigid_body.py", "rigid_body.vx", "rigid_body.vy",
+        "rigid_body.collision_count",
+    ):
+        comp, f = path.split(".")
+        va = np.asarray(getattr(getattr(sa, comp), f))
+        vb = np.asarray(getattr(getattr(sb, comp), f))
+        assert np.array_equal(va, vb), (tag, path)
+
+
+class TestPositionResidency:
+    """physics.position_residency keeps x/y/px/py layout-resident across
+    frames (ops/physics_grid.resident_persistent_step). Every case asserts
+    BIT-EXACT trajectories vs position_residency='off' — including px/py,
+    which are synced back to entity order on demand."""
+
+    def test_auto_enables_and_matches_off(self):
+        a, b = _res_engine("auto"), _res_engine("off")
+        a.step(1)
+        assert a._residency_on and not b._residency_on
+        a.step(9)
+        b.step(10)
+        _assert_worlds_equal(a, b, "plain")
+
+    def test_mouse_forces_and_pinned_row(self):
+        # the Ball tick's mouse repulsion evaluates in layout space; the
+        # mouse's host-written position reaches its layout slot per frame
+        a, b = _res_engine("on"), _res_engine("off")
+        for e in (a, b):
+            e.input.set_mouse(500.0, 300.0, present=True)
+            e.input.mouse_button(0, True)
+        a.step(4); b.step(4)
+        for e in (a, b):
+            e.input.set_mouse(900.0, 350.0, present=True)
+        a.step(5); b.step(5)
+        _assert_worlds_equal(a, b, "mouse")
+
+    def test_host_mutation_syncs_and_rebuilds(self):
+        a, b = _res_engine("on", 400, 5), _res_engine("off", 400, 5)
+        a.step(5); b.step(5)
+        for e in (a, b):
+            act = e.active_indices("Ball")
+            e.despawn_batch(act[10:40])
+            e.spawn_batch(
+                "Ball", 20,
+                x=np.linspace(100, 3000, 20).astype(np.float32),
+                y=np.full(20, 200, np.float32),
+            )
+        a.step(7); b.step(7)
+        _assert_worlds_equal(a, b, "mutation")
+
+    def test_frameplan_uses_nonresident_variant(self):
+        a, b = _res_engine("on", 200, 9), _res_engine("off", 200, 9)
+        a.step(3); b.step(3)
+        for e, r in ((a, np.random.default_rng(42)), (b, np.random.default_rng(42))):
+            plan = e.begin_plan()
+            for _ in range(6):
+                act = e.active_indices("Ball")
+                plan.despawn_batch(r.choice(act, size=16, replace=False))
+                plan.spawn_batch(
+                    "Ball", 16,
+                    x=r.uniform(100, 8000, 16).astype(np.float32),
+                    y=r.uniform(100, 900, 16).astype(np.float32),
+                )
+                plan.next_frame()
+            e.run_plan(plan, max_chunk=4)
+        a.step(6); b.step(6)
+        _assert_worlds_equal(a, b, "plan")
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from multithreadedgameengine_tpu.checkpoint import (
+            load_checkpoint, save_checkpoint,
+        )
+
+        a = _res_engine("on", 220, 3)
+        a.step(7)
+        p = str(tmp_path / "res.npz")
+        save_checkpoint(a, p)
+        ref = _res_engine("on", 220, 3)
+        ref.step(7)
+        a.step(10)
+        load_checkpoint(a, p)
+        a.step(10)
+        ref.step(10)
+        _assert_worlds_equal(a, ref, "checkpoint")
+
+    def test_unsafe_tick_disables_auto_and_rejects_on(self):
+        from multithreadedgameengine_tpu import (
+            Collider, Engine, EntityClass, RigidBody, make_config,
+        )
+
+        class NeighborTick(EntityClass):
+            components = [RigidBody, Collider]
+            uses_neighbors = True
+
+            @classmethod
+            def setup(cls, ctx):
+                # real collider radius so the grid solver (and therefore
+                # the residency gate) engages
+                return {"collider.radius": 5.0}
+
+            @staticmethod
+            def tick(ctx):
+                return {"rigid_body.ax": ctx.neighbor_count * 0.0}
+
+        def build(residency):
+            eng = Engine(make_config(
+                world_width=400.0, world_height=300.0,
+                physics=dict(
+                    solver="pallas", rebin_interval=2,
+                    position_residency=residency,
+                ),
+            ))
+            eng.register_entity_class(NeighborTick, 4)
+            eng.init()
+            eng.spawn("NeighborTick", x=100.0, y=100.0)
+            eng.step(1)
+            return eng
+
+        eng = build("auto")
+        assert not eng._residency_on  # fell back silently
+        with pytest.raises(ValueError, match="not layout-safe"):
+            build("on")
+
+
+class TestClaimMany:
+    def test_matches_sequential_claims(self):
+        a = EntityPool(100, 40)
+        b = EntityPool(100, 40)
+        seq = [b.claim() for _ in range(17)]
+        vec = a.claim_many(17)
+        assert vec.tolist() == seq
+        assert a.active_count == b.active_count == 17
+        assert a.free_count == b.free_count
+
+    def test_matches_after_interleaved_release(self):
+        a = EntityPool(0, 32)
+        b = EntityPool(0, 32)
+        for p in (a, b):
+            first = p.claim_many(10) if p is a else [p.claim() for _ in range(10)]
+            p.release_many(list(first[2:5]))
+        seq = [b.claim() for _ in range(8)]
+        vec = a.claim_many(8)
+        assert vec.tolist() == seq
+
+    def test_exhaustion_truncates(self):
+        p = EntityPool(0, 5)
+        got = p.claim_many(9)
+        assert got.size == 5
+        assert p.claim_many(3).size == 0
+        assert p.free_count == 0
+        # released indices come back in LIFO caller order
+        p.release_many([got[4], got[1]])
+        assert p.claim_many(2).tolist() == [int(got[1]), int(got[4])]
+
+    def test_mask_consistency(self):
+        p = EntityPool(7, 20)
+        got = p.claim_many(6)
+        for i in got:
+            assert not p.is_free(int(i))
+        assert np.array_equal(np.sort(p.active_indices()), np.sort(got))
+
+
+class TestDeviceScreenEvents:
+    """onScreen Enter/Exit diffed on device (round 4): prev_onscreen is a
+    world leaf, transitions compact into one packed table, and chunked
+    stepping / FramePlans carry per-frame copies through the event log —
+    parity with per-frame stepping (the old host-diff semantics)."""
+
+    def _build(self, events, event_chunk=1):
+        from multithreadedgameengine_tpu import (
+            Collider, Engine, EntityClass, RigidBody, SpriteRenderer,
+            make_config,
+        )
+
+        class Drifter(EntityClass):
+            components = [RigidBody, Collider, SpriteRenderer]
+            uses_neighbors = False
+            on_screen_enter = staticmethod(
+                lambda i: events.append(("enter", int(i)))
+            )
+            on_screen_exit = staticmethod(
+                lambda i: events.append(("exit", int(i)))
+            )
+
+            @classmethod
+            def setup(cls, ctx):
+                return {"collider.radius": 5.0, "rigid_body.max_vel": 500.0}
+
+        eng = Engine(make_config(
+            canvas_width=400, canvas_height=300,
+            world_width=4000.0, world_height=600.0,
+            logic=dict(screen_events=True, event_chunk=event_chunk),
+            physics=dict(gravity=(0.0, 0.0), max_collision_pairs=1),
+        ))
+        eng.register_entity_class(Drifter, 6)
+        eng.init()
+        eng.input.camera_x = 200.0
+        eng.input.camera_y = 150.0
+        # two entities drifting right: one starts on screen and exits, one
+        # starts off screen and enters
+        eng.spawn("Drifter", x=100.0, y=150.0, vx=40.0)
+        eng.spawn("Drifter", x=-600.0, y=150.0, vx=40.0)
+        return eng
+
+    def _run(self, chunk, frames=24):
+        events = []
+        eng = self._build(events, event_chunk=chunk)
+        if chunk > 1:
+            eng.step(frames)
+        else:
+            for _ in range(frames):
+                eng.step(1)
+        eng.sync()
+        return events
+
+    def test_chunked_matches_per_frame(self):
+        per_frame = self._run(1)
+        chunked = self._run(8)
+        assert per_frame  # enter + exit both observed
+        assert any(k == "enter" for k, _ in per_frame)
+        assert any(k == "exit" for k, _ in per_frame)
+        assert chunked == per_frame
+
+    def test_plan_matches_per_frame(self):
+        events = []
+        eng = self._build(events, event_chunk=4)
+        plan = eng.begin_plan()
+        for _ in range(24):
+            plan.next_frame()
+        eng.run_plan(plan, max_chunk=8)
+        eng.sync()
+        assert events == self._run(1)
+
+
+class TestEngineAssetPreload:
+    """Engine.load_assets — the preloadAssets flow (gameEngine.js:805-889):
+    real PNG files + TexturePacker JSON from disk → big atlas + registry
+    through one call."""
+
+    def test_png_files_from_disk_roundtrip(self, tmp_path):
+        from multithreadedgameengine_tpu.models.predators import (
+            make_predators_engine,
+        )
+        from multithreadedgameengine_tpu.render.headless import encode_png
+        from multithreadedgameengine_tpu.render.procgen import (
+            make_character_sheet, make_demo_textures,
+        )
+        import json
+
+        # write REAL PNG + JSON files to disk (LPC-style layout, procgen art)
+        sheet_img, sheet_meta = make_character_sheet(seed=7)
+        png = tmp_path / "civil1.png"
+        png.write_bytes(encode_png(sheet_img))
+        meta_p = tmp_path / "civil1.json"
+        meta_p.write_text(json.dumps(sheet_meta))
+        tex = make_demo_textures()["bunny"]
+        tex_p = tmp_path / "bunny.png"
+        tex_p.write_bytes(encode_png(tex))
+
+        eng = make_predators_engine(n_prey=8, n_predators=1, n_lights=1)
+        atlas = eng.load_assets(
+            images={"bunny": str(tex_p)},
+            sheets={"civil1": (str(png), str(meta_p))},
+        )
+        assert eng.atlas is atlas
+        # every sheet frame landed in the atlas, pixels intact
+        name0 = next(iter(sheet_meta["frames"]))
+        f = sheet_meta["frames"][name0]["frame"]
+        src = sheet_img[f["y"]:f["y"]+f["h"], f["x"]:f["x"]+f["w"]]
+        np.testing.assert_array_equal(
+            atlas.frame_image(f"civil1/{name0}"), src
+        )
+        np.testing.assert_array_equal(atlas.frame_image("bunny"), tex)
+        assert "_lightGradient" in atlas.frames  # built-in injected
+        # registry ids line up (sheet pre-registered by the scene: idempotent)
+        assert eng.sprites.sheet_id("civil1") >= 1
+        assert eng.sprites.texture_id("bunny") >= 1
+        # the scene still steps with the loaded assets
+        eng.step(2)
+        assert int(eng.metrics["active_count"]) > 0
+
+    def test_constructor_images_arg(self, tmp_path):
+        from multithreadedgameengine_tpu import Engine, make_config
+        from multithreadedgameengine_tpu.render.headless import encode_png
+
+        img = np.zeros((8, 8, 4), np.uint8)
+        img[..., 0] = 200
+        img[..., 3] = 255
+        p = tmp_path / "dot.png"
+        p.write_bytes(encode_png(img))
+        eng = Engine(make_config(world_width=100.0, world_height=100.0),
+                     images={"dot": str(p)})
+        assert eng.atlas is not None
+        np.testing.assert_array_equal(eng.atlas.frame_image("dot"), img)
+        assert eng.sprites.texture_id("dot") >= 1
+
+
+class TestHeadlessSpritesAndGlow:
+    """render/headless.py draws real atlas sprites + additive light glows
+    (VERDICT r3 missing #2): engine.screenshot() can now verify what the
+    browser client shows."""
+
+    def _scene(self):
+        from multithreadedgameengine_tpu import (
+            Collider, Engine, EntityClass, LightEmitter, RigidBody,
+            SpriteRenderer, make_config,
+        )
+
+        class Sprite(EntityClass):
+            components = [RigidBody, Collider, SpriteRenderer]
+            uses_neighbors = False
+
+        class Lamp(EntityClass):
+            components = [LightEmitter, SpriteRenderer]
+            uses_neighbors = False
+
+            @classmethod
+            def setup(cls, ctx):
+                return {
+                    "light.light_color": 0x00FF00,
+                    "light.light_intensity": 2500.0,
+                }
+
+        eng = Engine(make_config(
+            canvas_width=200, canvas_height=160,
+            world_width=200.0, world_height=160.0,
+            lighting=dict(enabled=True, lighting_ambient=1.0),
+        ))
+        eng.register_entity_class(Sprite, 2)
+        eng.register_entity_class(Lamp, 1)
+        eng.init()
+        eng.input.camera_x = 0.0
+        eng.input.camera_y = 0.0
+        return eng, Sprite, Lamp
+
+    def test_atlas_sprite_blit_and_fallback(self):
+        from multithreadedgameengine_tpu.render.headless import render_frame
+
+        eng, *_ = self._scene()
+        # a solid 10x10 blue texture; static textures ride the anim lane
+        tex = np.zeros((10, 10, 4), np.uint8)
+        tex[..., 2] = 255
+        tex[..., 3] = 255
+        eng.load_assets(images={"blue": tex})
+        tid = eng.sprites.texture_id("blue")
+        eng.spawn(
+            "Sprite", x=50.0, y=50.0,
+            **{"sprite.animation_state": float(tid),
+               "sprite.anchor_x": 0.5, "sprite.anchor_y": 0.5,
+               "sprite.tint": 0xFFFFFF},
+        )
+        eng.step(1)
+        img = render_frame(eng)
+        # blue square centered at (50, 50): blue dominant, red/green ~0
+        patch = img[47:53, 47:53].astype(int)
+        assert patch[..., 2].mean() > 150
+        assert patch[..., 0].mean() < 60
+
+    def test_sprite_scale_rotation_tint(self):
+        from multithreadedgameengine_tpu.render.headless import render_frame
+
+        eng, *_ = self._scene()
+        tex = np.zeros((4, 16, 4), np.uint8)  # wide white bar
+        tex[..., :3] = 255
+        tex[..., 3] = 255
+        eng.load_assets(images={"bar": tex})
+        tid = eng.sprites.texture_id("bar")
+        eng.spawn(
+            "Sprite", x=100.0, y=80.0, rotation=float(np.pi / 2),
+            **{"sprite.animation_state": float(tid),
+               "sprite.anchor_x": 0.5, "sprite.anchor_y": 0.5,
+               "sprite.scale_x": 2.0, "sprite.scale_y": 2.0,
+               "sprite.tint": 0xFF0000},
+        )
+        eng.step(1)
+        img = render_frame(eng).astype(int)
+        # rotated 90°: the 32px-long bar now spans VERTICALLY, tinted red
+        assert img[80 + 12, 100, 0] > 150  # far along the vertical axis
+        assert img[80 + 12, 100, 2] < 60   # tint killed blue
+        assert img[80, 100 + 12, 0] < 60   # horizontal stays background
+
+    def test_glow_layer_additive(self):
+        from multithreadedgameengine_tpu.render.headless import render_frame
+
+        eng, _s, _l = self._scene()
+        base = render_frame(eng).astype(int)
+        eng.spawn("Lamp", x=100.0, y=80.0)
+        eng.step(1)
+        lit = render_frame(eng).astype(int)
+        # green glow brightens the light's neighborhood vs the empty scene
+        assert lit[80, 100, 1] > base[80, 100, 1] + 20
+        # far corner unaffected by the glow splat (radius = sqrt(2500) = 50)
+        assert abs(int(lit[5, 5, 1]) - int(base[5, 5, 1])) < 25
+
+
+def test_zoom_at_keeps_cursor_world_point_fixed():
+    """Wheel zoom-to-cursor (gameEngine.js:1426-1450): the world point under
+    the given screen coordinate is invariant across zoom_at calls."""
+    from multithreadedgameengine_tpu.inputs import InputController
+
+    inp = InputController()
+    inp.set_camera(x=120.0, y=40.0, zoom=0.5)
+    sx, sy = 300.0, 200.0
+    wx0 = inp.camera_x + sx / inp.camera_zoom
+    wy0 = inp.camera_y + sy / inp.camera_zoom
+    for f in (1.1, 1.1, 0.9, 2.0):
+        inp.zoom_at(sx, sy, f)
+        assert inp.camera_x + sx / inp.camera_zoom == pytest.approx(wx0)
+        assert inp.camera_y + sy / inp.camera_zoom == pytest.approx(wy0)
+    assert inp.camera_zoom == pytest.approx(0.5 * 1.1 * 1.1 * 0.9 * 2.0)
