@@ -42,7 +42,7 @@ DEFAULT_N = 1_000_000
 
 
 def run_one(n: int, n_dev: int, scene: str = "balls",
-            oversub: float = 4.0) -> dict:
+            oversub: float = 4.0, mode: str = "halo") -> dict:
     import os
 
     os.environ["XLA_FLAGS"] = (
@@ -147,6 +147,42 @@ def run_one(n: int, n_dev: int, scene: str = "balls",
             "baseline": "halo_program_single_slab",
         }
 
+    if mode == "homed":
+        # POSITION-HOMED step (parallel/homed.py, round 4): per-frame
+        # routing = boundary-crossing movers only; the defining comparison
+        # vs the index-homed step's route-everyone all_to_alls
+        from multithreadedgameengine_tpu.parallel import (
+            make_homed_step, make_mesh,
+        )
+
+        mesh = make_mesh(n_dev, axis_name="slab")
+        step, place, _un = make_homed_step(
+            eng, mesh, headroom=2.0, check_vma=False
+        )
+        world, gid = place(eng.world)
+        ins = eng.input.snapshot()
+        world, gid, metrics = step(world, gid, ins)  # warm (compile)
+        jax.device_get(world.step_count)
+        t0 = time.time()
+        for _ in range(steps):
+            world, gid, metrics = step(world, gid, ins)
+        jax.device_get(world.step_count)
+        per = (time.time() - t0) / steps
+        return {
+            "n_devices": n_dev, "mode": "homed",
+            "ms_per_step": round(per * 1000, 1),
+            "per_device_chunk_slots": int(
+                world.transform.x.shape[0] // n_dev
+            ),
+            "migrated_rows_per_step": int(
+                jax.device_get(metrics["migrated_rows"])
+            ),
+            "home_violators": int(jax.device_get(metrics["home_violators"])),
+            "route_overflow_solver": int(
+                jax.device_get(metrics["route_overflow_solver"])
+            ),
+        }
+
     # route-capacity oversubscription is a SCENE property: gravity piles
     # concentrate most entities in the bottom slabs (needs ~4x headroom);
     # uniform-density flocking needs only mild slack. Per-device routed work
@@ -208,10 +244,11 @@ def main() -> None:
     oversub = {"boids": 1.5, "predators": 2.5}.get(scene, 4.0)
     if "--oversub" in sys.argv:
         oversub = float(sys.argv[sys.argv.index("--oversub") + 1])
+    mode = "homed" if "--homed" in sys.argv else "halo"
     if "--one" in sys.argv:
         n_dev = int(sys.argv[sys.argv.index("--one") + 1])
         print(
-            "ONE_JSON " + json.dumps(run_one(n, n_dev, scene, oversub)),
+            "ONE_JSON " + json.dumps(run_one(n, n_dev, scene, oversub, mode)),
             flush=True,
         )
         return
@@ -226,6 +263,7 @@ def main() -> None:
         proc = subprocess.run(
             [sys.executable, "-u", __file__, str(n), out_path, "--one", str(n_dev)]
             + ([f"--{scene}"] if scene != "balls" else [])
+            + (["--homed"] if mode == "homed" else [])
             + ["--oversub", str(oversub)],
             capture_output=True, text=True, timeout=3600, env=env,
         )
@@ -244,7 +282,7 @@ def main() -> None:
     base = next((r["ms_per_step"] for r in results
                  if r.get("n_devices") == 1 and "ms_per_step" in r), None)
     summary = {
-        "n_entities": n, "scene": scene, "host_cores": 1,
+        "n_entities": n, "scene": scene, "mode": mode, "host_cores": 1,
         "route_oversub": oversub, "rungs": results,
     }
     if base:

@@ -66,17 +66,19 @@ def rung_balls(n_balls: int, chunk: int = 20) -> dict:
         #    with the reference's own one-frame-stale candidate semantics
         #    (physics_worker.js:379-383). Values are the demo's own physics
         #    section (balls_config) — section overrides replace wholesale.
-        # rebin_interval 4: one binning argsort + attribute-layout rebuild
-        # per 4 frames (the r3 attr cache makes rebin frames carry the grad/
-        # meta scatters too, so the amortization is worth ~7 ms/step at 1M).
-        # Staleness stays the documented bin-cache semantics: candidates for
-        # cell-crossers lag up to 3 frames (reference analog: its physics
-        # consumes the spatial worker's previous-frame lists and that worker
-        # free-runs slower than physics at load, physics_worker.js:379-383).
+        # rebin_interval 8 + position residency (round 4): positions live in
+        # the solver layout across frames (PROBE_RESIDENCY.json: cached
+        # frames 27.9 ms vs 39.9 without residency), so the only interval
+        # cost is the rebuild (~20 ms: binning argsort + 7 field scatters)
+        # amortized /8 ≈ 2.6 ms. Staleness: candidates for cell-crossers lag
+        # up to 7 frames — at this scene's speeds (≲3 px/frame vs the 75 px
+        # solver cell with 25% reach slack) within the same accepted-staleness
+        # class as the reference's free-running spatial worker at load
+        # (physics_worker.js:379-383).
         over["physics"] = dict(
             sub_step_count=2, max_collision_pairs=1, verlet_damping=0.99,
             boundary_elasticity=0.0, collision_response_strength=0.8,
-            gravity=(0.0, 0.5), solver_capacity=12, rebin_interval=4,
+            gravity=(0.0, 0.5), solver_capacity=12, rebin_interval=8,
         )
     eng = make_balls_engine(
         n_balls=n_balls, seed=123456,
@@ -202,7 +204,12 @@ def rung_predators(
     from multithreadedgameengine_tpu.models.predators import make_predators_engine
 
     over = (
-        {"logic": dict(collision_events=True, event_chunk=event_chunk)}
+        {"logic": dict(
+            collision_events=True, event_chunk=event_chunk,
+            # double-buffered log: hook dispatch + log pull overlap the
+            # next chunk's device execution (logic.event_overlap docs)
+            event_overlap=True,
+        )}
         if events else {}
     )
     eng = make_predators_engine(n_prey=n_prey, **over)

@@ -197,6 +197,15 @@ class LogicConfig:
     # late and their control-plane effects (emissions, spawns) land at the
     # chunk boundary.
     event_chunk: int = 1
+    # TPU-only: overlap host hook dispatch with the NEXT chunk's device
+    # execution (double-buffered event logs). The log pull (~one tunnel
+    # roundtrip per chunk) and the hook bodies then cost no device idle
+    # time, at the price of hooks landing up to ONE EXTRA chunk late and
+    # their control-plane effects (spawns, emissions) applying a chunk
+    # later — the reference's own callbacks run in a free-running worker
+    # with unbounded lag (logic_worker.js:417-526). Only affects chunked
+    # stepping (event_chunk > 1).
+    event_overlap: bool = False
     # log capacity per frame per event kind under chunked stepping
     max_events_per_frame: int = 1024
     # onScreen Enter/Exit table capacity (screen_events): transitions per

@@ -2055,6 +2055,8 @@ class Engine:
                 "recompiling the event-log program"
             )
             self._event_chunk_fns = {}
+        overlap = self.config.logic.event_overlap
+        pending = None  # (logs, k) of the chunk whose hooks haven't fired
         while remaining > 0:
             k = min(k_cfg, remaining)
             remaining -= k
@@ -2065,14 +2067,33 @@ class Engine:
                 self.world, inputs, jnp.int32(k), self._fc_np, self._tex_np
             )
             if has_hooks:
-                self._dispatch_logged_events(
-                    logs, k,
-                    self._event_chunk_fns["K"], self._event_chunk_fns["caps"],
-                )
+                if overlap:
+                    # double-buffered log: fire the PREVIOUS chunk's hooks
+                    # while this chunk executes on device — the log pull and
+                    # the hook bodies hide behind device time
+                    # (logic.event_overlap docs)
+                    if pending is not None:
+                        self._dispatch_logged_events(
+                            pending[0], pending[1],
+                            self._event_chunk_fns["K"],
+                            self._event_chunk_fns["caps"],
+                        )
+                    pending = (logs, k)
+                else:
+                    self._dispatch_logged_events(
+                        logs, k,
+                        self._event_chunk_fns["K"],
+                        self._event_chunk_fns["caps"],
+                    )
             if not fresh:
                 self.timer.record((time.time() - t0) / k, k)
             else:
                 self.timer.total_steps += k
+        if pending is not None:
+            self._dispatch_logged_events(
+                pending[0], pending[1],
+                self._event_chunk_fns["K"], self._event_chunk_fns["caps"],
+            )
         self.metrics = metrics
         return metrics
 

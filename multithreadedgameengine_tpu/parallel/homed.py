@@ -1,0 +1,698 @@
+"""POSITION-HOMED spatial-domain multi-chip step (round 4): entity home
+follows its world slab, so steady-state frames route only boundary-crossing
+MOVERS instead of every entity.
+
+The index-homed step (parallel/halo.py) keeps each entity at a fixed
+device/slot and routes its FULL packed component row to the slab owner and
+back EVERY frame (two all_to_alls of ~40 int32 lanes x N rows for the logic
+phase alone) — measured +65-72% total work over single-device at 4-8 slabs
+on the 102k-boids artifact (HALO_SCALING_BOIDS_r03.json). Here instead:
+
+ - each device OWNS the entities currently inside its slab (a contiguous
+   block of spatial-grid rows, exactly phase A's banding in halo.py): its
+   chunk is a dense, GID-SORTED table of component rows ([n_cap] slots,
+   gid lane -1 = free);
+ - phase A (neighbor tables + ticks) runs entirely on local rows — the
+   slab's table is built from residents it already holds, halo table rows
+   arrive by ppermute exactly as before (slab bands align to spatial grid
+   rows, so every table row is single-owner), and NO entity row crosses
+   the interconnect;
+ - phase B (solver) still routes its 8-channel solver rows by post-move
+   position (the one phase whose binning can cross the band by a frame's
+   movement), but the received rows are re-sorted by gid so within-cell
+   slot order — and therefore every fp accumulation — matches the
+   single-device step bit-for-bit;
+ - at frame end, entities whose FINAL position crossed a band boundary
+   MIGRATE: a quota-limited all_to_all of just the movers (typically a few
+   % of N), after which each chunk re-sorts to gid order. Ungranted movers
+   (destination chunk full / per-pair route cap) stay home as VIOLATORS —
+   out-of-band residents that degrade exactly like route-overflow rows in
+   the index-homed step (no neighbor list, boundary-only solver via the
+   phase-B route which still works from any position) and retry next
+   frame; `home_violators` surfaces them.
+
+Gid-sorted chunks are the linchpin of bit-exactness: the single-device
+step's within-cell insertion order is ascending entity index, and a stable
+cell-sort over a gid-sorted chunk reproduces it for every fully-owned table
+row; phase B restores it globally with one small sort of the routed rows.
+
+Scope (v1): ticks (neighbor-consuming and local), XLA grid + Pallas solver,
+device-side despawns, particles/emissions replicated as in halo.py.
+Collision events, shadow sprites and decals remain on the index-homed step
+(make_halo_step) — scenes using them should keep it; this builder raises.
+
+Host control plane: chunks are placed once (`place_fn`); host-side spawns /
+despawns between steps require re-placement (`place_fn(unplace_fn(...))`) —
+the benchmark scenes mutate through device-side despawns and FramePlans,
+and the reference's own spawn fan-out is a control-plane event
+(gameEngine.js:1651-1670).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..behavior import run_logic_phase_masked
+from ..state import World
+from ..ops.spatial import (
+    GridGeom,
+    NeighborLists,
+    NeighborPayload,
+    _cap_first_k,
+    bin_entities,
+)
+from ..ops.physics_grid import (
+    _boundary,
+    run_solver_substeps,
+    scatter_solver_grid,
+)
+from .halo import (
+    _edge_perms,
+    _merge_emissions,
+    entity_leaf_specs,
+    pack_world_rows,
+    route_capacity,
+    unpack_world_rows,
+)
+
+_I32_MAX = np.int32(2**31 - 1)
+
+
+def _sort_chunk(rows: jnp.ndarray, gid: jnp.ndarray, n_cap: int):
+    """Gid-sort a chunk's rows (free slots, gid -1, sink to the tail as
+    +INF keys) and truncate/pad to n_cap. Returns (rows', gid')."""
+    key = jnp.where(gid >= 0, gid, _I32_MAX)
+    order = jnp.argsort(key)[:n_cap]
+    return rows[order], gid[order]
+
+
+def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
+                    mig_oversub: float = 1.0, check_vma: bool = None):
+    """Build the position-homed sharded step for an initialized engine.
+
+    Returns (step_fn, place_fn, unplace_fn):
+      - ``place_fn(world) -> (world_chunks, gid)`` assigns every entity to
+        the device owning its CURRENT position's slab and lays chunks out
+        over the mesh (gid-sorted, [D*n_cap] leading axis);
+      - ``step_fn(world_chunks, gid, inputs) -> (world_chunks, gid,
+        metrics)`` — jitted, donated;
+      - ``unplace_fn(world_chunks, gid) -> world`` reassembles the
+        entity-ordered single-device world (host-side numpy; snapshots /
+        parity tests).
+
+    ``headroom``: chunk slots per device = ceil(N/D * headroom) — the load
+    imbalance the layout absorbs before movers start bouncing (violators).
+    ``mig_oversub``: migration route slots per (source, dest) pair =
+    route_capacity(n_cap, D, mig_oversub).
+    """
+    engine._require_init()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    world0 = engine.world
+    n = world0.n_entities
+
+    cfg = engine._resolve_spatial()
+    if cfg.spatial.method != "grid":
+        raise ValueError("homed step requires spatial.method='grid'")
+    if cfg.logic.collision_events:
+        raise ValueError(
+            "homed step v1 does not carry collision events — use "
+            "make_halo_step for event scenes"
+        )
+    if cfg.lighting.enabled and cfg.lighting.shadows_enabled:
+        raise ValueError(
+            "homed step v1 does not compute shadow sprites — use "
+            "make_halo_step"
+        )
+    if cfg.particle.max_particles > 0 and cfg.particle.decals:
+        raise ValueError("homed step v1 does not stamp decals — use make_halo_step")
+    if check_vma is None:
+        check_vma = cfg.physics.solver != "pallas"
+    cfg, solver_geom, forced = engine._solver_plan(cfg)
+    if solver_geom is None or forced:
+        raise ValueError("homed step could not derive a solver geometry")
+    if cfg.physics.solver == "neighbors":
+        raise ValueError("homed step requires the grid constraint solver")
+
+    has_particles = cfg.particle.max_particles > 0
+    emit_budget = cfg.particle.max_emit_per_step if has_particles else 0
+    payload_channels, extra_paths = engine._payload_plan(cfg)
+    type_specs = tuple(
+        (reg.cls, reg.entity_type)
+        for reg in engine.classes.values()
+        if reg.count > 0 and getattr(reg.cls, "tick", None) is not None
+    )
+    need_neighbors = any(
+        reg.count > 0
+        and getattr(reg.cls, "tick", None) is not None
+        and reg.cls.uses_neighbors
+        for reg in engine.classes.values()
+    )
+    frame_counts = engine._frame_counts()
+    specs = entity_leaf_specs(world0)
+    n_lanes = len(specs)
+
+    # --- slab geometry: bands of spatial-grid rows (phase A alignment) ---
+    sp = cfg.spatial
+    rows_g, cols_g = cfg.grid_rows, cfg.grid_cols
+    hw = max(1, sp.max_cell_radius)
+    rpd = math.ceil(rows_g / n_dev)  # spatial rows per band
+    if need_neighbors and hw > rpd:
+        raise ValueError(
+            f"spatial halo width {hw} exceeds rows-per-slab {rpd}"
+        )
+    rows_loc = rpd + 2 * hw
+    cells_loc = rows_loc * cols_g
+    geom_sp_loc = GridGeom(
+        cell_size=sp.cell_size, rows=rows_loc, cols=cols_g,
+        capacity=sp.cell_capacity,
+    )
+    R_s, C_s, cap_s = solver_geom.rows, solver_geom.cols, solver_geom.capacity
+    rps = math.ceil(R_s / n_dev)
+    geom_s_loc = GridGeom(
+        cell_size=solver_geom.cell_size, rows=rps, cols=C_s, capacity=cap_s
+    )
+
+    n_cap = int(((math.ceil(n / n_dev * headroom)) + 7) // 8 * 8)
+    m_mig = route_capacity(n_cap, n_dev, mig_oversub)
+    cap_b = route_capacity(n_cap, n_dev, 4.0)  # solver route headroom
+    down_perm, up_perm = _edge_perms(n_dev)
+    inv_sp = 1.0 / sp.cell_size
+    inv_s = 1.0 / solver_geom.cell_size
+    f32 = jnp.float32
+
+    def band_of_y(y):
+        grow = jnp.clip((y * inv_sp).astype(jnp.int32), 0, rows_g - 1)
+        return jnp.minimum(grow // rpd, n_dev - 1)
+
+    # ------------------------------------------------------------------
+    # phase A: local neighbor tables + ticks (NO entity routing)
+    # ------------------------------------------------------------------
+    def phase_a(local: World, gid, inputs, d):
+        lt = local.transform
+        res_fin = jnp.isfinite(lt.x) & jnp.isfinite(lt.y)
+        in_band = band_of_y(lt.y) == d
+        # violators (out-of-band residents, see module docs) degrade like
+        # route-overflow rows: excluded from the table and neighbor lists
+        valid_ent = lt.active & res_fin & (gid >= 0) & in_band
+        violators = jnp.sum(
+            lt.active & (gid >= 0) & res_fin & ~in_band, dtype=jnp.int32
+        )
+
+        grow_r = jnp.clip((lt.y * inv_sp).astype(jnp.int32), 0, rows_g - 1)
+        gcol_r = jnp.clip((lt.x * inv_sp).astype(jnp.int32), 0, cols_g - 1)
+        loc_row = jnp.clip(grow_r - d * rpd + hw, 0, rows_loc - 1)
+        from ..behavior import read_field
+
+        extras = [jnp.asarray(read_field(local, p), f32) for p in extra_paths]
+        rows_vals = jnp.stack(
+            [gid.astype(f32), lt.x, lt.y] + extras, axis=1
+        )
+        bins = bin_entities(
+            lt.x, lt.y, valid_ent, geom_sp_loc, table_values=rows_vals,
+            row=loc_row, col=gcol_r,
+        )
+
+        # halo: boundary table-row blocks from the slab neighbors — bands
+        # align to spatial rows, so every row is single-owner (halo.py
+        # phase A's exchange, unchanged)
+        n_ch = rows_vals.shape[1]
+        body = bins.table[:cells_loc].reshape(
+            rows_loc, cols_g, sp.cell_capacity, n_ch
+        )
+        from_up = jax.lax.ppermute(body[rpd : rpd + hw], axis, down_perm)
+        from_dn = jax.lax.ppermute(body[hw : 2 * hw], axis, up_perm)
+        body = body.at[0:hw].set(from_up)
+        body = body.at[hw + rpd : 2 * hw + rpd].set(from_dn)
+        table = jnp.concatenate(
+            [body.reshape(cells_loc, sp.cell_capacity, n_ch),
+             bins.table[cells_loc:]],
+            axis=0,
+        )
+
+        offs = jnp.arange(-hw, hw + 1, dtype=jnp.int32)
+        off_r = jnp.repeat(offs, 2 * hw + 1)
+        off_c = jnp.tile(offs, 2 * hw + 1)
+        cand_grow = grow_r[:, None] + off_r[None, :]
+        cand_gcol = gcol_r[:, None] + off_c[None, :]
+        in_b = (
+            (cand_grow >= 0) & (cand_grow < rows_g)
+            & (cand_gcol >= 0) & (cand_gcol < cols_g)
+        )
+        cand_lrow = cand_grow - d * rpd + hw
+        cand_cell = jnp.where(in_b, cand_lrow * cols_g + cand_gcol, cells_loc)
+        flat = table[cand_cell].reshape(lt.x.shape[0], -1, n_ch)
+        cand = flat[..., 0].astype(jnp.int32)
+        dx = flat[..., 1] - lt.x[:, None]
+        dy = flat[..., 2] - lt.y[:, None]
+        d2 = dx * dx + dy * dy
+        vr2 = (local.collider.visual_range ** 2)[:, None]
+        ok = (
+            (cand >= 0)
+            & (cand != gid[:, None])
+            & (d2 < vr2)
+            & (d2 > 0)
+            & valid_ent[:, None]
+        )
+        ids, d2_out, count = _cap_first_k(cand, d2, ok, sp.max_neighbors)
+        nbr = NeighborLists(
+            ids=ids, d2=d2_out, count=count, n_binned=bins.n_binned,
+            payload=NeighborPayload(data=flat),
+        )
+
+        # undeclared-path ctx.gather: all_gather field + gid, scatter into
+        # entity order — device-identical (replicated) by construction
+        def gather_fn(path):
+            vals = jax.lax.all_gather(
+                jnp.asarray(read_field(local, path)), axis
+            ).reshape(-1)
+            gids_all = jax.lax.all_gather(gid, axis).reshape(-1)
+            safe = jnp.where(gids_all >= 0, gids_all, n)
+            return (
+                jnp.zeros((n + 1,), vals.dtype)
+                .at[safe].set(vals, mode="drop")[:n]
+            )
+
+        local, emissions = run_logic_phase_masked(
+            local, nbr, inputs, cfg, type_specs, payload_channels,
+            gather_fn=gather_fn,
+        )
+        return local, bins.n_binned, violators, (emissions, gid)
+
+    def phase_a_local(local: World, gid, inputs, d):
+        m = local.transform.x.shape[0]
+        empty = NeighborLists(
+            ids=jnp.full((m, 1), -1, jnp.int32),
+            d2=jnp.zeros((m, 1), f32),
+            count=jnp.zeros((m,), jnp.int32),
+            n_binned=jnp.int32(-1),
+            payload=NeighborPayload(data=jnp.zeros((m, 1, 0), f32)),
+        )
+        from ..behavior import read_field
+
+        def gather_fn(path, local=local):
+            vals = jax.lax.all_gather(
+                jnp.asarray(read_field(local, path)), axis
+            ).reshape(-1)
+            gids_all = jax.lax.all_gather(gid, axis).reshape(-1)
+            safe = jnp.where(gids_all >= 0, gids_all, n)
+            return (
+                jnp.zeros((n + 1,), vals.dtype)
+                .at[safe].set(vals, mode="drop")[:n]
+            )
+
+        local, emissions = run_logic_phase_masked(
+            local, empty, inputs, cfg, type_specs, payload_channels,
+            gather_fn=gather_fn,
+        )
+        lt = local.transform
+        in_band = band_of_y(lt.y) == d
+        violators = jnp.sum(
+            lt.active & (gid >= 0)
+            & jnp.isfinite(lt.y) & ~in_band, dtype=jnp.int32
+        )
+        return local, jnp.int32(-1), violators, (emissions, gid)
+
+    # ------------------------------------------------------------------
+    # phase B: solver — routed 8-channel rows, GID-SORTED on arrival so
+    # within-cell order matches the single-device step exactly
+    # ------------------------------------------------------------------
+    def phase_b(local: World, gid, d):
+        from ..ops.physics_grid import pack_solver_rows
+
+        t, rb, c = local.transform, local.rigid_body, local.collider
+        finite = jnp.isfinite(t.x) & jnp.isfinite(t.y)
+        valid = t.active & finite & (gid >= 0)
+        packed = pack_solver_rows(local, gid=jnp.maximum(gid, 0))
+        packed = packed.at[:, 7].set(valid.astype(f32))  # occupancy lane
+        grow = jnp.clip((t.y * inv_s).astype(jnp.int32), 0, R_s - 1)
+        dest = jnp.minimum(grow // rps, n_dev - 1)
+        rows_i = jax.lax.bitcast_convert_type(packed, jnp.int32)
+
+        from .halo import route_back, route_out
+
+        recv, sent_slot, ovf = route_out(rows_i, dest, valid, n_dev, cap_b, axis)
+        res = jax.lax.bitcast_convert_type(recv, f32)  # [m, 8]
+        res_valid = res[:, 7] > 0
+        # gid-sort the received rows: single-device within-cell insertion
+        # order is ascending entity index; recv arrives (source, slot)-major
+        # which is NOT gid order once homes follow positions
+        res_gid = jnp.where(res_valid, res[:, 6].astype(jnp.int32), _I32_MAX)
+        order = jnp.argsort(res_gid).astype(jnp.int32)
+        res = res[order]
+        res_valid = res_valid[order]
+        inv_order = jnp.argsort(order).astype(jnp.int32)
+
+        rx, ry = res[:, 0], res[:, 1]
+        grow_r = jnp.clip((ry * inv_s).astype(jnp.int32), 0, R_s - 1)
+        gcol_r = jnp.clip((rx * inv_s).astype(jnp.int32), 0, C_s - 1)
+        lrow = jnp.clip(grow_r - d * rps, 0, rps - 1)
+        bins = bin_entities(
+            rx, ry, res_valid, geom_s_loc, build_table=False,
+            row=lrow, col=gcol_r,
+        )
+        flat_cells = (rps + 2) * (C_s + 2) * cap_s
+        in_grid = res_valid & (bins.rank < cap_s)
+        flat_idx = ((bins.row + 1) * (C_s + 2) + (bins.col + 1)) * cap_s + bins.rank
+        flat_idx = jnp.where(in_grid, flat_idx, flat_cells)
+        grid = scatter_solver_grid(res, flat_idx, rps, C_s, cap_s)
+
+        def fill_border(g):
+            fu = jax.lax.ppermute(g[rps : rps + 1], axis, down_perm)
+            fd = jax.lax.ppermute(g[1:2], axis, up_perm)
+            return g.at[0:1].set(fu).at[rps + 1 : rps + 2].set(fd)
+
+        grid = fill_border(grid)
+
+        def halo_xy(gx, gy):
+            st = jnp.stack([gx, gy], axis=0)
+            fu = jax.lax.ppermute(st[:, rps : rps + 1], axis, down_perm)
+            fd = jax.lax.ppermute(st[:, 1:2], axis, up_perm)
+            st = st.at[:, 0:1].set(fu).at[:, rps + 1 : rps + 2].set(fd)
+            return st[0], st[1]
+
+        gx, gy, gpx, gpy, gcnt = run_solver_substeps(
+            grid, geom_s_loc, cfg, local.step_count.astype(jnp.uint32),
+            halo_xy=halo_xy, shard_hints=False,
+        )
+
+        out_flat = jnp.stack([gx, gy, gpx, gpy], axis=-1).reshape(flat_cells, 4)
+        cnt_flat = gcnt.reshape(flat_cells)
+        safe_idx = jnp.where(in_grid, flat_idx, 0)
+        out_rows = out_flat[safe_idx]
+        ret = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(out_rows, jnp.int32),
+                cnt_flat[safe_idx][:, None],
+                in_grid.astype(jnp.int32)[:, None],
+            ],
+            axis=1,
+        )
+        ret = ret[inv_order]  # back to recv slot order for the route home
+        got, got_ok = route_back(ret, sent_slot, n_dev, cap_b, axis)
+        solved = got_ok & (got[:, 5] > 0)
+        hx = jax.lax.bitcast_convert_type(got[:, 0], f32)
+        hy = jax.lax.bitcast_convert_type(got[:, 1], f32)
+        hpx = jax.lax.bitcast_convert_type(got[:, 2], f32)
+        hpy = jax.lax.bitcast_convert_type(got[:, 3], f32)
+
+        moving = t.active & rb.active & ~rb.static
+        new_x = jnp.where(solved, hx, t.x)
+        new_y = jnp.where(solved, hy, t.y)
+        new_px = jnp.where(solved, hpx, rb.px)
+        new_py = jnp.where(solved, hpy, rb.py)
+        new_cc = jnp.where(solved, got[:, 4], 0)
+
+        over = valid & ~solved
+        ph = cfg.physics
+        fx, fpx = _boundary(t.x, rb.px, c.radius, cfg.world_width, moving & over, ph.boundary_elasticity)
+        fy, fpy = _boundary(t.y, rb.py, c.radius, cfg.world_height, moving & over, ph.boundary_elasticity)
+        new_x = jnp.where(over, fx, new_x)
+        new_y = jnp.where(over, fy, new_y)
+        new_px = jnp.where(over, fpx, new_px)
+        new_py = jnp.where(over, fpy, new_py)
+
+        local = local.replace(
+            transform=t.replace(x=new_x, y=new_y),
+            rigid_body=rb.replace(px=new_px, py=new_py, collision_count=new_cc),
+        )
+        return local, jnp.sum(solved, dtype=jnp.int32), ovf
+
+    # ------------------------------------------------------------------
+    # migration: quota-limited movers-only all_to_all + gid re-sort
+    # ------------------------------------------------------------------
+    def migrate(local: World, gid, d):
+        t = local.transform
+        occupied = gid >= 0
+        finite = jnp.isfinite(t.y)
+        dest = jnp.where(occupied & t.active & finite, band_of_y(t.y), d)
+        wants_out = occupied & t.active & (dest != d)
+
+        # demand matrix [D, D] (replicated): my per-dest mover counts,
+        # all_gathered; prefix-grant per dest against free capacity so no
+        # destination chunk can overflow (deterministic on every device)
+        onehot = (
+            (dest[:, None] == jnp.arange(n_dev, dtype=jnp.int32)[None, :])
+            & wants_out[:, None]
+        )
+        my_demand = jnp.sum(onehot, axis=0, dtype=jnp.int32)  # [D]
+        demand = jax.lax.all_gather(my_demand, axis)  # [D(src), D(dst)]
+        demand = jnp.minimum(demand, m_mig)  # per-pair route cap
+        stay_counts = jax.lax.all_gather(
+            jnp.sum(occupied & ~wants_out, dtype=jnp.int32), axis
+        )  # [D]
+        free = jnp.maximum(n_cap - stay_counts, 0)  # [D(dst)]
+        used_before = jnp.cumsum(demand, axis=0) - demand  # prefix per dst
+        grant = jnp.clip(free[None, :] - used_before, 0, demand)  # [D, D]
+        my_grant = grant[d]  # [D] — how many I may send per dest
+
+        # rank my movers per destination (gid order within dest — chunk is
+        # gid-sorted, so row order IS gid order) and keep the granted prefix
+        from .halo import _rank_within_dest
+
+        rank = _rank_within_dest(dest, wants_out, n_dev)
+        send_ok = wants_out & (rank < my_grant[dest])
+        ungranted = jnp.sum(wants_out & ~send_ok, dtype=jnp.int32)
+
+        # gid lane biased +1 so an empty (all-zero) send slot decodes to
+        # gid -1 after finish_migration's -1, never aliasing entity 0
+        rows = jnp.concatenate(
+            [pack_world_rows(local, specs), (gid + 1)[:, None]], axis=1
+        )
+        slot = jnp.where(send_ok, dest * m_mig + rank, n_dev * m_mig)
+        send = (
+            jnp.zeros((n_dev * m_mig, rows.shape[1]), rows.dtype)
+            .at[slot].set(rows, mode="drop")
+        )
+        recv = jax.lax.all_to_all(
+            send.reshape(n_dev, m_mig, rows.shape[1]), axis, 0, 0
+        ).reshape(n_dev * m_mig, rows.shape[1])
+        return recv, send_ok, ungranted, rows
+
+    def finish_migration(local: World, gid, recv, send_ok, rows):
+        # merge: my stays + arrivals, gid-sorted into n_cap slots
+        my_rows = rows[:, :n_lanes]
+        my_gid = jnp.where(send_ok, -1, gid)  # departures free their slot
+        arr_rows = recv[:, :n_lanes]
+        arr_gid = recv[:, n_lanes] - 1  # biased +1 on send; empty slots -> -1
+        all_rows = jnp.concatenate([my_rows, arr_rows], axis=0)
+        all_gid = jnp.concatenate([my_gid, arr_gid], axis=0)
+        key = jnp.where(all_gid >= 0, all_gid, _I32_MAX)
+        order = jnp.argsort(key)[:n_cap]
+        new_rows = all_rows[order]
+        new_gid = jnp.where(key[order] < _I32_MAX, all_gid[order], -1)
+        # zero out freed slots so inactive lanes (active flags) read False
+        new_rows = jnp.where(new_gid[:, None] >= 0, new_rows, 0)
+        local = unpack_world_rows(new_rows, local, specs)
+        return local, new_gid
+
+    # ------------------------------------------------------------------
+    # the whole step per device
+    # ------------------------------------------------------------------
+    from ..ops.culling import update_entity_visibility
+    from ..ops.physics import update_derived, verlet_move
+    from ..render.extract import advance_animation
+
+    def local_step(chunk: World, gid, inputs):
+        d = jax.lax.axis_index(axis).astype(jnp.int32)
+        # per-step input write, by GID (entity 0 = mouse lives on whichever
+        # device owns its band; Mouse.js:30-104 semantics)
+        t0_, m0_ = chunk.transform, chunk.mouse
+        is_mouse = gid == 0
+        chunk = chunk.replace(
+            transform=t0_.replace(
+                x=jnp.where(is_mouse, inputs.mouse_x, t0_.x),
+                y=jnp.where(is_mouse, inputs.mouse_y, t0_.y),
+            ),
+            mouse=m0_.replace(
+                button0_down=jnp.where(is_mouse, inputs.mouse_buttons[0], m0_.button0_down),
+                button1_down=jnp.where(is_mouse, inputs.mouse_buttons[1], m0_.button1_down),
+                button2_down=jnp.where(is_mouse, inputs.mouse_buttons[2], m0_.button2_down),
+                is_present=jnp.where(is_mouse, inputs.mouse_present, m0_.is_present),
+            ),
+        )
+
+        if need_neighbors:
+            chunk, n_binned, violators, em = phase_a(chunk, gid, inputs, d)
+            n_binned = jax.lax.psum(n_binned, axis)
+        else:
+            chunk, n_binned, violators, em = phase_a_local(chunk, gid, inputs, d)
+
+        chunk = advance_animation(chunk, frame_counts, cfg.dt_ratio)
+        chunk = verlet_move(chunk, cfg, cfg.dt_ratio)
+        chunk, solver_binned, ovf_b = phase_b(chunk, gid, d)
+        chunk = update_derived(chunk, cfg)
+
+        def rep_mark(v):
+            # identity pmax proving a device-identical value replicated to
+            # shard_map's vma checker (no-op collective semantics; skipped
+            # when the check is off) — see make_halo_step's rep_mark
+            if not check_vma:
+                return v
+            if v.dtype in (jnp.bool_, jnp.uint8):
+                return jax.lax.pmax(v.astype(jnp.int32), axis).astype(v.dtype)
+            return jax.lax.pmax(v, axis)
+
+        p_active = jnp.int32(-1)
+        if has_particles:
+            from ..ops.culling import update_particle_visibility
+            from ..ops.particles import apply_emission, update_particles
+
+            pool, _stamps, p_active = update_particles(
+                chunk.particles, cfg, cfg.dt_ratio, False
+            )
+            chunk = chunk.replace(particles=pool)
+            requests, gids_em = em
+            batch, total_e = _merge_emissions(
+                requests, jnp.maximum(gids_em, 0), emit_budget, axis
+            )
+            if batch is not None:
+                pool, spawned = apply_emission(chunk.particles, batch, total_e)
+                pool = jax.tree.map(rep_mark, pool)
+                chunk = chunk.replace(particles=pool)
+                p_active = p_active + rep_mark(spawned)
+            chunk = update_particle_visibility(chunk, cfg, inputs)
+        p_active = rep_mark(p_active)
+
+        chunk = update_entity_visibility(chunk, cfg, inputs)
+
+        # movers-only migration on FINAL positions: next frame's phase A
+        # sees every non-violator resident in-band
+        recv, send_ok, ungranted, rows = migrate(chunk, gid, d)
+        # (gid lane biased +1 inside migrate's packing? — no: bias applied
+        # here, symmetric with finish_migration's -1)
+        chunk, gid = finish_migration(chunk, gid, recv, send_ok, rows)
+
+        chunk = chunk.replace(step_count=chunk.step_count + 1)
+        t = chunk.transform
+        occ = gid >= 0
+        metrics = {
+            "active_count": jax.lax.psum(
+                jnp.sum(t.active & occ, dtype=jnp.int32), axis
+            ),
+            "n_binned": n_binned,
+            "active_particles": p_active,
+            "nonfinite_count": jax.lax.psum(
+                jnp.sum(
+                    t.active & occ
+                    & ~(jnp.isfinite(t.x) & jnp.isfinite(t.y)),
+                    dtype=jnp.int32,
+                ),
+                axis,
+            ),
+            "solver_binned": jax.lax.psum(solver_binned, axis),
+            "route_overflow_solver": jax.lax.psum(ovf_b, axis),
+            "migrated_rows": jax.lax.psum(
+                jnp.sum(send_ok, dtype=jnp.int32), axis
+            ),
+            "home_violators": jax.lax.psum(violators + ungranted, axis),
+        }
+        return chunk, gid, metrics
+
+    # --- shardings / wrappers ---
+    def chunk_specs(world: World):
+        from .halo import halo_world_specs
+
+        return halo_world_specs(world, axis)
+
+    w_specs = chunk_specs(world0)
+    in_specs = (
+        w_specs, P(axis),
+        jax.tree.map(lambda _: P(), engine.input.snapshot()),
+    )
+    met_keys = (
+        "active_count", "n_binned", "active_particles", "nonfinite_count",
+        "solver_binned", "route_overflow_solver", "migrated_rows",
+        "home_violators",
+    )
+    out_specs = (w_specs, P(axis), {k: P() for k in met_keys})
+
+    def full_step(world: World, gid, inputs):
+        return jax.shard_map(
+            local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_vma,
+        )(world, gid, inputs)
+
+    w_shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), w_specs)
+    gid_sharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    ins_shardings = jax.tree.map(lambda _: rep, engine.input.snapshot())
+    met_shardings = {k: rep for k in met_keys}
+    step_fn = jax.jit(
+        full_step,
+        in_shardings=(w_shardings, gid_sharding, ins_shardings),
+        out_shardings=(w_shardings, gid_sharding, met_shardings),
+        donate_argnums=(0, 1),
+    )
+
+    def place_fn(world: World):
+        """Host-side initial placement: every entity to its position's band,
+        gid-sorted chunks, free-slot padding."""
+        w = jax.device_get(world)
+        y = np.asarray(w.transform.y)
+        active = np.asarray(w.transform.active)
+        grow = np.clip((y * inv_sp).astype(np.int32), 0, rows_g - 1)
+        dest = np.minimum(grow // rpd, n_dev - 1)
+        dest = np.where(active, dest, -1)  # inactive slots: parked on d0
+        dest = np.where(np.isfinite(y), dest, 0)
+        # inactive entities still occupy pool slots host-side; park them on
+        # device 0 so their rows exist somewhere (they are invisible to
+        # binning/ticks via the active mask)
+        dest = np.where(dest < 0, 0, dest)
+        rows_np = np.asarray(jax.device_get(pack_world_rows(world, specs)))
+        gid_chunks = np.full((n_dev, n_cap), -1, np.int32)
+        row_chunks = np.zeros((n_dev, n_cap, n_lanes), np.int32)
+        for dev in range(n_dev):
+            idx = np.nonzero(dest == dev)[0]
+            if idx.size > n_cap:
+                raise ValueError(
+                    f"placement overflow: band {dev} holds {idx.size} "
+                    f"entities > chunk capacity {n_cap}; raise headroom"
+                )
+            gid_chunks[dev, : idx.size] = idx
+            row_chunks[dev, : idx.size] = rows_np[idx]
+        flat_rows = jnp.asarray(row_chunks.reshape(n_dev * n_cap, n_lanes))
+        base = jax.tree.map(
+            lambda leaf: (
+                jnp.zeros((n_dev * n_cap,) + leaf.shape[1:], leaf.dtype)
+                if (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                    and leaf.shape[0] == n)
+                else leaf
+            ),
+            world,
+        )
+        chunked = unpack_world_rows(flat_rows, base, specs)
+        placed = jax.tree.map(
+            lambda leaf, s: jax.device_put(leaf, s), chunked, w_shardings
+        )
+        gid = jax.device_put(
+            jnp.asarray(gid_chunks.reshape(-1)), gid_sharding
+        )
+        return placed, gid
+
+    def unplace_fn(world_chunks: World, gid) -> World:
+        """Reassemble the entity-ordered world (host-side, for snapshots)."""
+        w = jax.device_get(world_chunks)
+        g = np.asarray(jax.device_get(gid))
+        rows_np = np.asarray(jax.device_get(pack_world_rows(w, specs)))
+        out_rows = np.zeros((n, n_lanes), np.int32)
+        occ = g >= 0
+        out_rows[g[occ]] = rows_np[occ]
+        base = jax.tree.map(
+            lambda leaf: (
+                jnp.zeros((n,) + leaf.shape[1:], leaf.dtype)
+                if (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                    and leaf.shape[0] == n_dev * n_cap)
+                else leaf
+            ),
+            w,
+        )
+        return unpack_world_rows(jnp.asarray(out_rows), base, specs)
+
+    return step_fn, place_fn, unplace_fn

@@ -438,3 +438,54 @@ def test_zoom_at_keeps_cursor_world_point_fixed():
         assert inp.camera_x + sx / inp.camera_zoom == pytest.approx(wx0)
         assert inp.camera_y + sy / inp.camera_zoom == pytest.approx(wy0)
     assert inp.camera_zoom == pytest.approx(0.5 * 1.1 * 1.1 * 0.9 * 2.0)
+
+
+class TestEventOverlap:
+    """logic.event_overlap double-buffers the event log: hooks fire while
+    the NEXT chunk executes — every event still fires, in the same order,
+    just up to one chunk later."""
+
+    def _run(self, overlap, n=10, chunk=3):
+        from multithreadedgameengine_tpu import (
+            Collider, Engine, EntityClass, RigidBody, SpriteRenderer,
+            make_config,
+        )
+
+        calls = []
+
+        class Pair(EntityClass):
+            components = [RigidBody, Collider, SpriteRenderer]
+            uses_neighbors = False
+            on_collision_enter = staticmethod(
+                lambda ctx, me, other: calls.append(("enter", me, other))
+            )
+            on_collision_stay = staticmethod(
+                lambda ctx, me, other: calls.append(("stay", me, other))
+            )
+
+            @classmethod
+            def setup(cls, ctx):
+                return {
+                    "collider.radius": 10.0, "collider.visual_range": 60.0,
+                    "rigid_body.static": True,
+                }
+
+        eng = Engine(make_config(
+            world_width=500.0, world_height=500.0,
+            spatial=dict(cell_size=50.0, max_neighbors=8),
+            logic=dict(collision_events=True, event_chunk=chunk,
+                       event_overlap=overlap),
+        ))
+        eng.register_entity_class(Pair, 2)
+        eng.init()
+        eng.spawn("Pair", x=100.0, y=100.0)
+        eng.spawn("Pair", x=110.0, y=100.0)
+        eng.step(n)
+        eng.sync()
+        return calls
+
+    def test_same_events_same_order(self):
+        base = self._run(False)
+        over = self._run(True)
+        assert base  # enters + stays observed
+        assert over == base
