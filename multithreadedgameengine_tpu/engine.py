@@ -2134,6 +2134,8 @@ class Engine:
         if pending is None:
             return
         self._pending_logs = None
+        if "K" not in self._event_chunk_fns:
+            return  # programs torn down (destroy/rebuild): log is stale
         self._dispatch_logged_events(
             pending[0], pending[1],
             self._event_chunk_fns["K"], self._event_chunk_fns["caps"],
@@ -2742,6 +2744,9 @@ class Engine:
         self._step_n_fn = None
         self._emission_fn = None
         self._event_chunk_fns = {}
+        # a held overlap log references the torn-down world/program spec:
+        # drop it (its hooks must not fire into a re-initialized world)
+        self._pending_logs = None
         self._plan_fns = {}
         self._initialized = False
         self._pending_ops.clear()

@@ -530,20 +530,35 @@ def grid_constraints_resident(
         # previous-frame view (physics_worker.js:379-383).
         fresh_for = world.step_count - world.solver_bin_step
         rebin = (world.solver_bin_step < 0) | (fresh_for >= interval)
+        # residency installs a max_vel layout (solver_maxv) alongside
+        # grad/meta; when this NON-resident path rebins (FramePlan chunks
+        # run it with residency leaves present) it must refresh maxv with
+        # the same slot assignment, or later resident FAST frames would
+        # clamp velocities through a stale layout (round-4 review finding)
+        track_maxv = (
+            world.solver_maxv is not None
+            and world.solver_maxv.shape == (cap, rows_buf, cp)
+        )
 
         def _fresh():
             flat, in_grid = _compute_bins()
             grad, meta = _attr_layouts(flat)
-            return flat, in_grid, grad, meta
+            out = (flat, in_grid, grad, meta)
+            if track_maxv:
+                out += (scat_at(flat, rb.max_vel),)
+            return out
 
-        flat, in_grid, grad, meta = jax.lax.cond(
-            rebin,
-            _fresh,
-            lambda: (
+        def _keep():
+            out = (
                 world.solver_flat, world.solver_in_grid,
                 world.solver_grad, world.solver_meta,
-            ),
-        )
+            )
+            if track_maxv:
+                out += (world.solver_maxv,)
+            return out
+
+        carried = jax.lax.cond(rebin, _fresh, _keep)
+        flat, in_grid, grad, meta = carried[:4]
         world = world.replace(
             solver_flat=flat,
             solver_in_grid=in_grid,
@@ -552,6 +567,7 @@ def grid_constraints_resident(
             solver_bin_step=jnp.where(
                 rebin, world.step_count, world.solver_bin_step
             ).astype(jnp.int32),
+            **({"solver_maxv": carried[4]} if track_maxv else {}),
         )
     t, rb = world.transform, world.rigid_body  # rebind post-replace
 

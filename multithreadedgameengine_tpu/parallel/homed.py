@@ -84,14 +84,6 @@ from .halo import (
 _I32_MAX = np.int32(2**31 - 1)
 
 
-def _sort_chunk(rows: jnp.ndarray, gid: jnp.ndarray, n_cap: int):
-    """Gid-sort a chunk's rows (free slots, gid -1, sink to the tail as
-    +INF keys) and truncate/pad to n_cap. Returns (rows', gid')."""
-    key = jnp.where(gid >= 0, gid, _I32_MAX)
-    order = jnp.argsort(key)[:n_cap]
-    return rows[order], gid[order]
-
-
 def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
                     mig_oversub: float = 1.0, adjacent_frac: float = 0.5,
                     check_vma: bool = None):
@@ -361,8 +353,6 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         is_loc = valid & (dest == d)
         to_up = valid & (dest == d - 1)
         to_dn = valid & (dest == d + 1)
-        far = valid & ~is_loc & ~to_up & ~to_dn  # >1 band in one frame
-        ovf_far = jnp.sum(far, dtype=jnp.int32)
 
         def stage(mask):
             # rank in row order (= gid order: chunks are gid-sorted)
@@ -375,8 +365,8 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
             )
             return buf, jnp.where(ok, slot, -1), jnp.sum(mask & ~ok, dtype=jnp.int32)
 
-        buf_up, slot_up, ovf_u = stage(to_up)
-        buf_dn, slot_dn, ovf_d = stage(to_dn)
+        buf_up, slot_up, _ovf_u = stage(to_up)
+        buf_dn, slot_dn, _ovf_d = stage(to_dn)
         # my to_up block goes to d-1 (up_perm); I receive d+1's to_up block
         from_above = jax.lax.ppermute(buf_up, axis, up_perm)
         from_below = jax.lax.ppermute(buf_dn, axis, down_perm)
@@ -480,8 +470,12 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
             transform=t.replace(x=new_x, y=new_y),
             rigid_body=rb.replace(px=new_px, py=new_py, collision_count=new_cc),
         )
-        ovf = ovf_far + ovf_u + ovf_d
-        return local, jnp.sum(solved, dtype=jnp.int32), ovf
+        # every degraded row counts exactly once: far jumps, exchange-block
+        # overflow AND local cell-capacity overflow all land in `over`
+        # (the single-device solver_overflow degradation class)
+        return local, jnp.sum(solved, dtype=jnp.int32), jnp.sum(
+            over, dtype=jnp.int32
+        )
 
     def migrate(local: World, gid, d):
         t = local.transform
@@ -492,7 +486,11 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
 
         # demand matrix [D, D] (replicated): my per-dest mover counts,
         # all_gathered; prefix-grant per dest against free capacity so no
-        # destination chunk can overflow (deterministic on every device)
+        # destination chunk can overflow (deterministic on every device).
+        # Capacity counts ALL currently occupied rows as staying — a mover
+        # whose own grant is denied stays too, so subtracting only
+        # non-movers could admit arrivals past n_cap and the merge sort
+        # would silently drop entities (round-4 review finding)
         onehot = (
             (dest[:, None] == jnp.arange(n_dev, dtype=jnp.int32)[None, :])
             & wants_out[:, None]
@@ -500,10 +498,10 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         my_demand = jnp.sum(onehot, axis=0, dtype=jnp.int32)  # [D]
         demand = jax.lax.all_gather(my_demand, axis)  # [D(src), D(dst)]
         demand = jnp.minimum(demand, m_mig)  # per-pair route cap
-        stay_counts = jax.lax.all_gather(
-            jnp.sum(occupied & ~wants_out, dtype=jnp.int32), axis
+        occ_counts = jax.lax.all_gather(
+            jnp.sum(occupied, dtype=jnp.int32), axis
         )  # [D]
-        free = jnp.maximum(n_cap - stay_counts, 0)  # [D(dst)]
+        free = jnp.maximum(n_cap - occ_counts, 0)  # [D(dst)]
         used_before = jnp.cumsum(demand, axis=0) - demand  # prefix per dst
         grant = jnp.clip(free[None, :] - used_before, 0, demand)  # [D, D]
         my_grant = grant[d]  # [D] — how many I may send per dest

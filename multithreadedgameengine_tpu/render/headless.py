@@ -166,6 +166,11 @@ def _atlas_frame_map(engine):
     atlas = getattr(engine, "atlas", None)
     if atlas is None:
         return None
+    # the atlas is immutable after load_assets: cache the resolver per
+    # atlas identity so repeated screenshots don't re-cut every frame
+    cached = getattr(engine, "_atlas_frame_cache", None)
+    if cached is not None and cached[0] is atlas:
+        return cached[1]
     from ..server.render_server import atlas_payload
 
     pay = atlas_payload(engine, atlas)
@@ -188,6 +193,7 @@ def _atlas_frame_map(engine):
             return None
         return rects[frame % len(rects)]
 
+    engine._atlas_frame_cache = (atlas, resolve)
     return resolve
 
 

@@ -217,3 +217,41 @@ class TestDespawnAndPallasUnderHomed:
         s2, metrics = _run_homed(eng, 10)
         assert np.isfinite(np.asarray(s2.transform.y)).all()
         assert int(metrics["active_count"]) > 0
+
+
+class TestMigrationConservation:
+    def test_extreme_pile_never_loses_entities(self):
+        """Round-4 review: the migration grant must count ALL occupied rows
+        (including denied movers) against chunk capacity — an extreme pile
+        with tight headroom bounces movers as violators but NEVER drops an
+        entity from the simulation."""
+        from multithreadedgameengine_tpu.models.balls import make_balls_engine
+
+        eng = make_balls_engine(
+            n_balls=255, spawn=True, seed=13,
+            world_width=1600.0, world_height=1000.0,
+            spatial=dict(cell_size=50.0, max_neighbors=32),
+            physics=dict(
+                sub_step_count=2, max_collision_pairs=1, verlet_damping=0.99,
+                boundary_elasticity=0.0, collision_response_strength=0.8,
+                gravity=(0.0, 2.0),  # hard pile into the bottom band
+            ),
+        )
+        eng._flush_pending()
+        mesh = make_mesh(D, axis_name="slab")
+        # headroom 1.6: fits the uniform initial placement, but the pile
+        # fills the bottom chunks and movers get denied
+        step, place, unplace = make_homed_step(eng, mesh, headroom=1.6)
+        world, gid = place(eng.world)
+        ins = eng.input.snapshot()
+        saw_violators = 0
+        for _ in range(40):
+            world, gid, metrics = step(world, gid, ins)
+            assert int(jax.device_get(metrics["active_count"])) == 256
+            saw_violators = max(
+                saw_violators, int(jax.device_get(metrics["home_violators"]))
+            )
+        snap = unplace(world, gid)
+        assert int(np.asarray(snap.transform.active).sum()) == 256
+        # the pile genuinely stressed capacity (otherwise this test is vacuous)
+        assert saw_violators > 0

@@ -524,3 +524,30 @@ def test_spawn_auto_reconciles_device_despawns():
     eng.step(2)
     got = eng.spawn_batch("Ephemeral", 3, x=100.0, y=70.0)
     assert got.size == 3
+
+
+def test_residency_heterogeneous_max_vel_survives_plan_rebins():
+    """Round-4 review: the non-resident plan path rebins flat/grad/meta but
+    must ALSO refresh the solver_maxv layout, or later resident FAST frames
+    clamp velocities through stale slots. Heterogeneous max_vel + plan
+    churn + residency must stay bit-exact vs residency='off'."""
+    a, b = _res_engine("on", 300, 21), _res_engine("off", 300, 21)
+    rngs = (np.random.default_rng(4), np.random.default_rng(4))
+    for e, r in zip((a, b), rngs):
+        # per-entity max_vel spread (2..40) — the stale-layout canary
+        act = e.active_indices("Ball")
+        e.despawn_batch(act)
+        e.spawn_batch(
+            "Ball", 300,
+            x=r.uniform(100, 8000, 300).astype(np.float32),
+            y=r.uniform(100, 900, 300).astype(np.float32),
+            **{"rigid_body.max_vel": r.uniform(2, 40, 300).astype(np.float32)},
+        )
+    a.step(4); b.step(4)
+    for e, r in zip((a, b), rngs):
+        plan = e.begin_plan()
+        for _ in range(5):  # plan chunks run the NON-resident variant
+            plan.next_frame()
+        e.run_plan(plan, max_chunk=5)
+    a.step(6); b.step(6)
+    _assert_worlds_equal(a, b, "hetero-maxv")
