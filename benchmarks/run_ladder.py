@@ -244,8 +244,9 @@ def rung_predators(
 RUNGS = {
     "balls_10000": (rung_balls, (10_000,), {}),
     "balls_100000": (rung_balls, (100_000,), {}),
-    # chunk 30: the ~30 ms axon dispatch RTT amortizes to ~1 ms/step
-    "balls_1000000": (rung_balls, (1_000_000,), {"chunk": 30}),
+    # chunk 60: the ~30 ms axon dispatch RTT amortizes to ~0.5 ms/step
+    # (same compiled program — n is a dynamic fori_loop bound)
+    "balls_1000000": (rung_balls, (1_000_000,), {"chunk": 60}),
     "churn": (rung_churn, (), {}),
     "boids_15000": (rung_boids, (), {}),
     "predators_events": (rung_predators, (), {"events": True}),

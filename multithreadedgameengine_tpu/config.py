@@ -135,6 +135,17 @@ class PhysicsConfig:
     # despawns. Avoid rebin_interval > 1 in scenes with heavy in-step
     # despawning.
     rebin_interval: int = 1
+    # Banded world boundary for the resident pallas path (round 4): the
+    # position clamp folds into the pair kernel's VMEM tiles (every slot,
+    # every substep) and the px/py bounce writes shrink to the layout's
+    # world-border bands — sized from the Verlet max_vel drift bound so
+    # they cover every entity that can possibly clamp between rebins
+    # (ops/physics_grid.resident_persistent_step docs; the full-layout
+    # boundary pass cost ~3.2 ms/frame of the 1M step's ~28 ms floor).
+    # Bit-exact with "off" while the drift bound holds; violations are
+    # counted in the `boundary_band_drift` metric. "off" keeps the
+    # full-layout clamp every substep.
+    boundary_band: str = "auto"
 
     def validated(self) -> "PhysicsConfig":
         """Mirror of validatePhysicsConfig (utils.js:269-301), plus the
@@ -153,6 +164,11 @@ class PhysicsConfig:
             raise ValueError(
                 "physics.position_residency must be 'auto', 'on' or 'off', "
                 f"got {self.position_residency!r}"
+            )
+        if self.boundary_band not in ("auto", "off"):
+            raise ValueError(
+                "physics.boundary_band must be 'auto' or 'off', got "
+                f"{self.boundary_band!r}"
             )
         if self.solver_capacity > 64:
             # the pair kernel's i-plane count / VMEM scratch scale with

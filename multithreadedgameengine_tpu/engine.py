@@ -374,6 +374,11 @@ class Engine:
         # solver's geometry; a larger later spawn forces a step rebuild
         self._max_radius = 0.0
         self._solver_radius_bound = 0.0
+        # largest host-written rigid_body.max_vel (the Verlet per-axis clamp;
+        # <= 0 falls back to 100, physics_worker.js:269-275): sizes the
+        # banded-boundary drift bound (resident_persistent_step docs)
+        self._max_vel_seen = 100.0
+        self._band_vel_bound = 0.0
         self.metrics: Dict[str, Any] = {}
 
         # the big atlas (BigAtlas) once assets load — renderers (the render
@@ -669,6 +674,19 @@ class Engine:
                 self._max_radius = r
                 if self._step_fn is not None and r > self._solver_radius_bound:
                     self._step_fn = None  # re-derive solver geometry
+        v = updates.get("rigid_body.max_vel")
+        if v is not None:
+            import numpy as _np
+
+            v = float(_np.max(_np.asarray(v)))
+            if v > self._max_vel_seen:
+                self._max_vel_seen = v
+                if (
+                    self._step_fn is not None
+                    and self._band_vel_bound > 0.0
+                    and v > self._band_vel_bound
+                ):
+                    self._step_fn = None  # re-derive the boundary band
 
     def spawn_batch(
         self, class_name: str, count: int, call_on_spawned: bool = True,
@@ -705,7 +723,9 @@ class Engine:
         :class:`FramePlan`. Returns (claimed idx, {path: [n] values})."""
         reg = self.classes[class_name]
         claimed = reg.pool.claim_many(count)
-        if claimed.size < count and auto_reconcile and self.reconcile_pools():
+        if claimed.size < count and auto_reconcile and self.reconcile_pools(
+            exclude=claimed  # in-flight claims aren't on device yet
+        ):
             # retry after reclaiming device-side despawns (see _spawn_op)
             claimed = np.concatenate(
                 [claimed, reg.pool.claim_many(count - claimed.size)]
@@ -929,16 +949,24 @@ class Engine:
                 return reg
         raise IndexError(index)
 
-    def reconcile_pools(self) -> int:
+    def reconcile_pools(self, exclude=None) -> int:
         """Sync host free lists with device-side despawns (ticks returning
         {'despawn': True} flip active flags inside the step; the host pool
         doesn't see them until reconciled — the analog of the reference's
         worker-0-only spawn discipline keeping its free list coherent,
         logic_worker.js:628-652). Returns the number of reclaimed slots.
-        Call periodically when any tick self-despawns."""
+        Call periodically when any tick self-despawns.
+
+        ``exclude``: indices to leave claimed even though the device world
+        shows them inactive — slots claimed by an in-flight spawn batch whose
+        column writes haven't been applied yet (they'd otherwise be reclaimed
+        and handed out twice)."""
         self._require_init()
         self._flush_pending()
         active = np.asarray(jax.device_get(self.world.transform.active))
+        if exclude is not None and len(exclude):
+            active = active.copy()
+            active[np.asarray(exclude, np.int64)] = True
         reclaimed = 0
         for reg in self.classes.values():
             if reg.count == 0:
@@ -1021,6 +1049,12 @@ class Engine:
         the control plane writes — flags, ids < 2^24, tints ≤ 0xFFFFFF,
         positions — is f32-exact) and cast to the field dtype in-program.
         Compiled programs cache by (paths, per-path bucket sizes)."""
+        # central bound tracking: every host write funnels through here, so
+        # radius/max_vel increases re-derive solver geometry / the boundary
+        # band even when issued outside the spawn paths
+        for path in ("collider.radius", "rigid_body.max_vel"):
+            if path in columns:
+                self._track_radius({path: columns[path][1]})
         names = tuple(sorted(columns))
         buckets = []
         idx_parts, val_parts = [], []
@@ -1309,6 +1343,15 @@ class Engine:
             else:
                 self.world = w.replace(solver_pos_step=jnp.int32(-1))
         self._residency_on = use_residency
+        # banded boundary (resident_persistent_step docs): size the px/py
+        # bounce band from the largest max_vel any host write has set (the
+        # Verlet clamp bounds per-frame drift; layout-safe ticks cannot
+        # write max_vel). A later host write above this bound invalidates
+        # the step (_track_radius) so the band re-derives.
+        band_vel_bound = 0.0
+        if use_residency and cfg.physics.boundary_band == "auto":
+            band_vel_bound = max(100.0, self._max_vel_seen)
+        self._band_vel_bound = band_vel_bound
 
         n = self.world.n_entities
         write_inputs = apply_inputs
@@ -1481,9 +1524,12 @@ class Engine:
                 from .ops.physics import update_derived
                 from .ops.physics_grid import resident_persistent_step
 
-                world, _nb_solver, solver_overflow = resident_persistent_step(
-                    world, cfg, solver_geom, inputs, force_specs,
-                    cfg.dt_ratio, pin_rows,
+                world, _nb_solver, solver_overflow, band_drift = (
+                    resident_persistent_step(
+                        world, cfg, solver_geom, inputs, force_specs,
+                        cfg.dt_ratio, pin_rows,
+                        band_vel_bound=band_vel_bound,
+                    )
                 )
                 world = update_derived(world, cfg)
             else:
@@ -1495,6 +1541,7 @@ class Engine:
                     solver_geom=solver_geom,
                     return_overflow=True,
                 )
+                band_drift = world.step_count * 0
             # collision-pair recording for Enter/Stay/Exit callbacks:
             # evaluated from the spatial pass's payload (frame-start
             # positions/d2) — the same one-frame-stale pair set the
@@ -1770,6 +1817,9 @@ class Engine:
                     & ~(jnp.isfinite(world.transform.x) & jnp.isfinite(world.transform.y)),
                     dtype=jnp.int32,
                 ),
+                # banded-boundary assumption monitor (resident_persistent_step
+                # docs): entities that out-drifted the px/py bounce band
+                "boundary_band_drift": band_drift,
             }
             return world, metrics
 
@@ -1820,6 +1870,7 @@ class Engine:
             "active_particles": z,
             "solver_overflow": z,
             "nonfinite_count": z,
+            "boundary_band_drift": z,
         }
 
     def _event_log_spec(self):

@@ -167,7 +167,7 @@ def _resident_kernel_sym(
     ax_ref, ay_ref, ac_ref, sx_ref, sy_ref, sc_ref,
     occ_ctr_ref, occ_halo_ref, bx_ref, by_ref, bc_ref,
     sems,
-    *, tr: int, cap: int, strength: float,
+    *, tr: int, cap: int, strength: float, clamp_bounds=None,
 ):
     _resident_body_pred(
         salt_ref, x_ref, y_ref, r_ref, m_ref,
@@ -176,6 +176,7 @@ def _resident_kernel_sym(
         ax_ref, ay_ref, ac_ref, sx_ref, sy_ref, sc_ref,
         occ_ctr_ref, occ_halo_ref, bx_ref, by_ref, bc_ref,
         sems, tr=tr, cap=cap, strength=strength,
+        clamp_bounds=clamp_bounds,
     )
 
 
@@ -190,10 +191,21 @@ def _resident_body_pred(
     occ_ctr_ref, occ_halo_ref,  # SMEM (cap,) per-plane occupancy flags
     bx_ref, by_ref, bc_ref,  # scratch back-sums [TR, Cp]
     sems,
-    *, tr: int, cap: int, strength: float,
+    *, tr: int, cap: int, strength: float, clamp_bounds=None,
 ):
     """Occupancy-PREDICATED Newton-symmetric pair pass — the production
     resident kernel (``symmetric=True``).
+
+    ``clamp_bounds=(world_w, world_h)`` folds the world-boundary POSITION
+    clamp (the `jnp.clip(x, r, extent - r)` half of physics_worker.js:344-376)
+    into the kernel: the tile copies are clamped in VMEM right after the DMA,
+    so every read — i-side, j-side halo windows, and the `newx = x + acc`
+    base — sees post-clamp positions, exactly as when the XLA `_boundary`
+    pass ran over the full layout before the kernel. The full-layout HBM
+    read-modify-write that pass cost (~1.6 ms/substep at the 1M geometry)
+    reduces to a few VPU ops on data already resident; the px/py bounce
+    half stays outside (ops/physics_grid._resident_substeps applies it to
+    the world-border bands only).
 
     Same pair math and same accumulation targets as `_resident_body`'s
     symmetric path, restructured so pair-block volume tracks OCCUPANCY
@@ -229,6 +241,20 @@ def _resident_body_pred(
         cp_.start()
     for cp_ in copies:
         cp_.wait()
+
+    if clamp_bounds is not None:
+        # boundary position clamp on the VMEM-resident tile (see docstring);
+        # where(moving) mirrors _boundary exactly: static/inactive/empty
+        # slots keep their stored value bit-for-bit
+        # plain Python floats: they inline as MLIR literals (a jnp scalar
+        # here would be a captured constant, which pallas_call rejects)
+        ww, wh = float(clamp_bounds[0]), float(clamp_bounds[1])
+        mvt = ((mt_ref[...] >> 24) & 8) != 0
+        rt = rt_ref[...]
+        xt = xt_ref[...]
+        xt_ref[...] = jnp.where(mvt, jnp.clip(xt, rt, ww - rt), xt)
+        yt = yt_ref[...]
+        yt_ref[...] = jnp.where(mvt, jnp.clip(yt, rt, wh - rt), yt)
 
     ctr = slice(HALO, HALO + tr)
     any_self = jnp.any(((mt_ref[:, ctr, :] >> 24) & 1) == 1)
@@ -601,7 +627,9 @@ def _acc_back(bx, by, bc, j, dr: int, dc: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("strength", "tile_rows", "interpret", "symmetric"),
+    static_argnames=(
+        "strength", "tile_rows", "interpret", "symmetric", "clamp_bounds",
+    ),
 )
 def pair_pass_resident(
     x: jnp.ndarray,  # f32[cap, rows_buf, Cp] slot-major (HALO row pad, col pad)
@@ -613,6 +641,7 @@ def pair_pass_resident(
     tile_rows: int = 16,
     interpret: bool = False,
     symmetric: bool = True,
+    clamp_bounds=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One resident pair pass. Returns (new_x, new_y, count) for the center
     rows [HALO, rows_buf - HALO) — each [cap, rows_buf - 2*HALO, Cp].
@@ -621,11 +650,18 @@ def pair_pass_resident(
     pair resolved once from its forward side — see _resident_body); the
     per-tile spill rows it emits are overlap-added into the next tile here.
     ``symmetric=False`` keeps the two-sided 9-offset enumeration whose
-    accumulation order is bit-identical to the XLA grid solver."""
+    accumulation order is bit-identical to the XLA grid solver.
+
+    ``clamp_bounds=(world_w, world_h)``: fold the boundary position clamp
+    into the kernel's VMEM tiles (symmetric kernel only — the banded
+    boundary path, _resident_body_pred docs)."""
     cap, rows_buf, cp = x.shape
     tr = tile_rows
     center_rows = rows_buf - 2 * HALO
     assert center_rows % tr == 0 and tr % 8 == 0
+    assert clamp_bounds is None or symmetric, (
+        "clamp folding is implemented in the symmetric kernel only"
+    )
     n_tiles = center_rows // tr
 
     out_shape = [
@@ -661,6 +697,7 @@ def pair_pass_resident(
     if symmetric:
         kernel = functools.partial(
             _resident_kernel_sym, tr=tr, cap=cap, strength=strength,
+            clamp_bounds=clamp_bounds,
         )
         out_shape += [
             jax.ShapeDtypeStruct((n_tiles, cap, 8, cp), jnp.float32),

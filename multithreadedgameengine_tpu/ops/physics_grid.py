@@ -381,21 +381,63 @@ def _cached_bins(world: World, cfg: EngineConfig, compute):
 
 def _resident_substeps(
     gx, gy, gpx, gpy, grad, meta, g_moving, cfg, tr, n_tiles,
-    salt, use_symmetric, interp, carry_px,
+    salt, use_symmetric, interp, carry_px, band=None,
 ):
     """The shared substep loop of the resident solver paths: boundary clamp
     + Pallas pair pass, in the slot-major layout. ``carry_px=False`` runs the
     NaN-carry px variant (see grid_constraints_resident's px/py notes);
-    ``True`` applies the full reflected-bounce _boundary to real px/py."""
+    ``True`` applies the full reflected-bounce _boundary to real px/py.
+
+    ``band=(r_lo, r_hi, lane_w)`` activates the BANDED boundary (round 4,
+    requires ``carry_px`` + the symmetric kernel): the POSITION clamp folds
+    into the pair kernel's VMEM tiles (every slot, every substep — positions
+    can never escape the world), while the px/py bounce write — which only
+    fires for entities that actually clamp, i.e. within one drift bound of a
+    world border — touches only the border bands: layout rows [:r_lo] and
+    [r_hi:] for the y axis, lanes [:lane_w] and [-lane_w:] for x. The full-
+    layout `_boundary` HBM read-modify-write (measured 1.6 ms/substep at the
+    1M geometry, benchmarks/probe_fast_parts.py) drops to band-sized slices.
+    Band sizing + the drift-violation metric live in the caller
+    (resident_persistent_step)."""
     from .pallas_kernels import HALO, pair_pass_resident
 
     ph = cfg.physics
     strength = float(ph.collision_response_strength)
     elasticity = ph.boundary_elasticity
+    if band is not None:
+        assert carry_px and use_symmetric
+        r_lo, r_hi, lane_w = band
+        cp_w = gx.shape[2]
+
+    def _band_px(a, pa, sls, extent):
+        """Bounce-write `px = cx + (cx - px)*e` on border slices only."""
+        for sl in sls:
+            ab, pb = a[sl], pa[sl]
+            rb, mb = grad[sl], g_moving[sl]
+            cxb = jnp.clip(ab, rb, extent - rb)
+            hit = mb & (cxb != ab)
+            pa = pa.at[sl].set(
+                jnp.where(hit, cxb + (cxb - pb) * elasticity, pb)
+            )
+        return pa
 
     def substep(_k, carry):
         gx, gy, gpx, gpy, cnt = carry
-        if carry_px:
+        if band is not None:
+            # px/py bounce on the bands; the position clamp itself rides
+            # the kernel (clamp_bounds below) for ALL slots
+            gpx = _band_px(
+                gx, gpx,
+                (jnp.index_exp[:, :, :lane_w],
+                 jnp.index_exp[:, :, cp_w - lane_w:]),
+                cfg.world_width,
+            )
+            gpy = _band_px(
+                gy, gpy,
+                (jnp.index_exp[:, :r_lo], jnp.index_exp[:, r_hi:]),
+                cfg.world_height,
+            )
+        elif carry_px:
             gx, gpx = _boundary(gx, gpx, grad, cfg.world_width, g_moving, elasticity)
             gy, gpy = _boundary(gy, gpy, grad, cfg.world_height, g_moving, elasticity)
         else:
@@ -409,6 +451,10 @@ def _resident_substeps(
             gx, gy, grad, meta, salt, strength,
             tile_rows=tr, interpret=interp,
             symmetric=use_symmetric,
+            clamp_bounds=(
+                (cfg.world_width, cfg.world_height)
+                if band is not None else None
+            ),
         )
         # full-height concat beats dynamic_update_slice here (measured 24.25
         # vs 23.55 steps/s at 1M — the in-place DUS forces a copy of the
@@ -728,7 +774,8 @@ def resident_persistent_step(
     force_specs,
     dt_ratio: float,
     pin_rows: Tuple[int, ...] = (),
-) -> Tuple[World, jnp.ndarray, jnp.ndarray]:
+    band_vel_bound: float = 0.0,
+) -> Tuple[World, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Verlet move + constraints with LAYOUT-RESIDENT positions
     (physics.position_residency): x/y/px/py live in the pair kernel's
     slot-major layout [cap, rows_buf, Cp] ACROSS frames (world.solver_x/y/
@@ -765,7 +812,21 @@ def resident_persistent_step(
     to the 'off' path's NaN-carry variant at elasticity 0 —
     tests/test_round4.py asserts whole-trajectory equality including px/py.
 
-    Returns (world, n_binned, overflow_count).
+    ``band_vel_bound`` (round 4): > 0 enables the BANDED boundary when the
+    predicated symmetric kernel is active — the boundary position clamp
+    folds into the pair kernel (every slot, every substep) and the px/py
+    bounce writes shrink to the world-border bands of the layout, sized so
+    that an entity whose per-frame displacement the Verlet clamps to
+    ``band_vel_bound`` cannot drift from an out-of-band slot to a border
+    between rebins (the engine passes max(100, max host-written max_vel)
+    and rebuilds the step if a later write exceeds it; layout-safe ticks
+    cannot write max_vel, behavior.LAYOUT_WRITABLE). Values are bit-exact
+    with the full-layout boundary whenever the bound holds; the returned
+    ``band_drift`` counts in-grid entities whose drift EXCEEDED the sizing
+    assumption (0 in healthy runs — a nonzero value means px bounces may
+    have been missed until the next rebuild).
+
+    Returns (world, n_binned, overflow_count, band_drift).
     """
     from .physics import verlet_move
     from ..behavior import eval_layout_forces
@@ -898,9 +959,25 @@ def resident_persistent_step(
         or (ph.solver_predicated == "auto" and cp >= 512)
     )
 
+    # banded boundary sizing (see docstring): drift between rebins is
+    # bounded by (interval-1) Verlet-clamped frames plus pair-push /
+    # cell-quantization slack (4 cells covers the max radius twice over —
+    # solver cells are >= 2*r_max + reach slack, solver_geometry)
+    band = None
+    band_cells = 0
+    if band_vel_bound > 0.0 and use_symmetric:
+        drift_px = (interval - 1) * float(band_vel_bound)
+        band_cells = int(math.ceil(drift_px / geom.cell_size)) + 4
+        r_lo = -(-(HALO + band_cells) // 8) * 8
+        pad_rows = (rows_buf - 2 * HALO) - R
+        bot = -(-(band_cells + pad_rows + HALO) // 8) * 8
+        lane_w = -(-(1 + band_cells) // 128) * 128
+        if r_lo + bot + 8 <= rows_buf and 2 * lane_w + 128 <= cp:
+            band = (r_lo, rows_buf - bot, lane_w)
+
     gx, gy, gpx, gpy, g_count = _resident_substeps(
         gx, gy, gpx, gpy, grad, meta, g_moving, cfg, tr, n_tiles,
-        salt, use_symmetric, interp, carry_px=True,
+        salt, use_symmetric, interp, carry_px=True, band=band,
     )
 
     # readback: x/y/px/py/count to entity order — px/py riding the same
@@ -926,6 +1003,24 @@ def resident_persistent_step(
     new_px = jnp.where(over, fpx, new_px)
     new_py = jnp.where(over, fpy, new_py)
 
+    # band-assumption monitor (only when banding is live): in-grid entities
+    # whose post-step position drifted farther from their slot's cell than
+    # the band was sized for — px/py bounce writes may have been missed for
+    # them until the next rebuild. 0 in healthy runs.
+    if band is not None:
+        slot_col = (flat % cp - 1).astype(jnp.float32)
+        slot_row = ((flat // cp) % rows_buf - HALO).astype(jnp.float32)
+        lim = jnp.float32((band_cells - 1) * geom.cell_size)
+        ctr_x = (slot_col + 0.5) * geom.cell_size
+        ctr_y = (slot_row + 0.5) * geom.cell_size
+        band_drift = jnp.sum(
+            in_grid
+            & ((jnp.abs(new_x - ctr_x) > lim) | (jnp.abs(new_y - ctr_y) > lim)),
+            dtype=jnp.int32,
+        )
+    else:
+        band_drift = jnp.int32(0)
+
     bin_step = jnp.where(expired, world.step_count, world.solver_bin_step)
     world = w_e.replace(
         transform=te.replace(x=new_x, y=new_y),
@@ -945,4 +1040,4 @@ def resident_persistent_step(
         solver_pos_step=(world.step_count + 1).astype(jnp.int32),
     )
     overflow = jnp.sum(over, dtype=jnp.int32)
-    return world, jnp.sum(in_grid, dtype=jnp.int32), overflow
+    return world, jnp.sum(in_grid, dtype=jnp.int32), overflow, band_drift

@@ -526,6 +526,129 @@ def test_spawn_auto_reconciles_device_despawns():
     assert got.size == 3
 
 
+class TestBandedBoundary:
+    """Round-4 banded boundary (physics.boundary_band): the position clamp
+    folds into the pair kernel and px/py bounce writes shrink to the
+    layout's world-border bands. Must stay BIT-EXACT vs the full-layout
+    boundary ('off') and vs position_residency='off' whenever the max_vel
+    drift bound holds."""
+
+    W, H = 30_000.0, 6_000.0  # wide: cols_pad >= 512 so the band engages
+
+    def _eng(self, residency, band="auto", seed=21, elasticity=0.8):
+        from multithreadedgameengine_tpu.models.balls import make_balls_engine
+
+        eng = make_balls_engine(
+            n_balls=300, seed=seed, world_width=self.W, world_height=self.H,
+            physics=dict(
+                RES_PHYSICS, position_residency=residency,
+                boundary_band=band, boundary_elasticity=elasticity,
+            ),
+        )
+        return eng
+
+    @staticmethod
+    def _border_movers(W, H):
+        # fast outward movers at every border + an interior control group
+        import numpy as np
+
+        xs = np.array(
+            [50.0] * 10 + [W - 50.0] * 10
+            + list(np.linspace(2000, W - 2000, 20)), np.float32,
+        )
+        ys = np.array(
+            list(np.linspace(500, H - 500, 20))
+            + [60.0] * 10 + [H - 60.0] * 10, np.float32,
+        )
+        vxs = np.array([-60.0] * 10 + [60.0] * 10 + [0.0] * 20, np.float32)
+        vys = np.array([0.0] * 20 + [-60.0] * 10 + [60.0] * 10, np.float32)
+        return xs, ys, vxs, vys
+
+    def test_banded_matches_full_and_nonresident(self):
+        import numpy as np
+
+        engines = {
+            "banded": self._eng("on", band="auto"),
+            "full": self._eng("on", band="off"),
+            "off": self._eng("off", band="off"),
+        }
+        xs, ys, vxs, vys = self._border_movers(self.W, self.H)
+        for eng in engines.values():
+            eng.despawn_batch(eng.active_indices("Ball"))
+            eng.spawn_batch("Ball", 40, x=xs, y=ys, vx=vxs, vy=vys)
+            eng.step(6)
+        m = engines["banded"].metrics
+        assert int(np.asarray(m["boundary_band_drift"])) == 0
+        _assert_worlds_equal(engines["banded"], engines["full"], "band-vs-full")
+        _assert_worlds_equal(engines["banded"], engines["off"], "band-vs-off")
+        # the border movers actually bounced (px reflected about the clamp)
+        s = engines["banded"].snapshot()
+        x = np.asarray(s.transform.x)
+        r = np.asarray(s.collider.radius)
+        a = np.asarray(s.transform.active)
+        assert (x[a] >= r[a] - 1e-4).all()
+        assert (x[a] <= self.W - r[a] + 1e-4).all()
+
+    def test_max_vel_raise_rederives_band(self):
+        eng = self._eng("on", band="auto")
+        eng.step(2)
+        assert eng._band_vel_bound == 100.0
+        act = eng.active_indices("Ball")
+        # host write above the bound must invalidate the built step so the
+        # band re-derives from the new max_vel
+        eng.despawn_batch(act[:1])
+        idx = eng.spawn_batch("Ball", 1, x=200.0, y=200.0,
+                              **{"rigid_body.max_vel": 400.0})
+        assert idx.size == 1
+        assert eng._max_vel_seen == 400.0
+        assert eng._step_fn is None  # rebuild scheduled
+        eng.step(3)
+        assert eng._band_vel_bound == 400.0
+
+
+def test_batch_exhaustion_retry_excludes_inflight_claims():
+    """Regression (round 4): spawn_batch's exhaustion-retry reconciles pools
+    while the just-claimed slots are NOT yet active on device (their column
+    writes apply after claiming) — reconcile_pools must exclude those
+    in-flight claims or it releases them back and the retry hands out
+    duplicates. Also: the retry must still reclaim GENUINE device-side
+    despawns."""
+    import numpy as np
+
+    from multithreadedgameengine_tpu import (
+        Collider, Engine, EntityClass, RigidBody, make_config,
+    )
+
+    class Fleeting(EntityClass):
+        components = [RigidBody, Collider]
+        uses_neighbors = False
+
+        @classmethod
+        def setup(cls, ctx):
+            return {"collider.radius": 3.0}
+
+        @staticmethod
+        def tick(ctx):
+            return {"despawn": ctx.x > 50.0}
+
+    eng = Engine(make_config(world_width=400.0, world_height=300.0))
+    eng.register_entity_class(Fleeting, 6)
+    eng.init()
+    # 1) pure exhaustion: nothing despawned device-side, so over-asking must
+    #    TRUNCATE (never duplicate in-flight claims)
+    got = eng.spawn_batch("Fleeting", 9, x=10.0, y=10.0)
+    assert got.size == 6
+    assert np.unique(got).size == 6
+    assert eng.get_pool_stats("Fleeting")["available"] == 0
+    # 2) two entities despawn device-side; a 5-ask reclaims exactly those two
+    eng.despawn_batch(got[:4])
+    eng.spawn_batch("Fleeting", 4, x=100.0, y=20.0)  # x>50: ticks despawn
+    eng.step(2)
+    got2 = eng.spawn_batch("Fleeting", 5, x=10.0, y=30.0)
+    assert got2.size == 4  # the 4 device-despawned slots, nothing else
+    assert np.unique(got2).size == 4
+
+
 def test_residency_heterogeneous_max_vel_survives_plan_rebins():
     """Round-4 review: the non-resident plan path rebins flat/grad/meta but
     must ALSO refresh the solver_maxv layout, or later resident FAST frames
