@@ -162,8 +162,15 @@ def run_one(n: int, n_dev: int, scene: str = "balls",
         # COMPUTE shapes, not interconnect — the homed step's defining win,
         # routing ~0.1% of rows instead of everyone, shows in
         # migrated_rows_per_step and the analytic comms volume)
+        # adjacent_frac grows with D: the phase-B solver bands quantize to
+        # whole solver-grid rows, so the spatial-band/solver-band seam
+        # misalignment (≤1 solver row per seam) covers a larger fraction of
+        # each (shorter) slab — at D=8 the seam occupants alone can exceed
+        # 0.25·n_cap (route_overflow_solver in the r04 artifact's first
+        # run). Capacity is a geometry knob, like route oversub.
         step, place, _un = make_homed_step(
-            eng, mesh, headroom=1.25, adjacent_frac=0.25,
+            eng, mesh, headroom=1.25,
+            adjacent_frac=0.25 if n_dev <= 4 else 0.45,
             check_vma=False,
         )
         world, gid = place(eng.world)

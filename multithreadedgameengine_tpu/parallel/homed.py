@@ -380,7 +380,13 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         order = jnp.argsort(key).astype(jnp.int32)
         res = comb[order]
         res_valid = comb_valid[order]
-        inv_order = jnp.argsort(order).astype(jnp.int32)
+        # permutation inverse by scatter, not a second argsort (O(n) vs
+        # O(n log n) — the same trick as bin_entities' rank inversion)
+        inv_order = (
+            jnp.zeros_like(order)
+            .at[order]
+            .set(jnp.arange(order.shape[0], dtype=jnp.int32))
+        )
 
         rx, ry = res[:, 0], res[:, 1]
         grow_r = jnp.clip((ry * inv_s).astype(jnp.int32), 0, R_s - 1)
