@@ -1830,15 +1830,70 @@ class Engine:
             dryrun, halo) that jit a (world, inputs) step themselves."""
             return one_step_impl(world, inputs, fc_np, tex_np)
 
-        def n_steps(world: World, inputs: InputState, n: jnp.ndarray,
-                    frame_counts, decal_textures):
-            zero_metrics = self._zero_metrics(world)
+        # lazy-readback chunk (round 4): when the resident solver is active
+        # and NOTHING in the step consumes entity-order state per frame,
+        # mid-chunk FAST frames skip the entity-order readback (the
+        # interleave stack + [N]-row gather — measured ~8.9 ms of the
+        # 26.7 ms 1M fast path, benchmarks/probe_ablate.py). Frames that DO
+        # consume entity order — rebin frames (they bin from entity
+        # positions) and the chunk's last frame (the host observes it) —
+        # first sync entity x/y/px/py from the layout (bit-exactly the
+        # deferred readback) and then run the full eager frame. Everything
+        # else entity-order (vx/vy/collision_count/speed/angle/visibility)
+        # is rewritten by that full frame before anything reads it.
+        lazy_chunks = (
+            use_residency
+            and not need_neighbors
+            and not cfg.logic.collision_events
+            and not cfg.logic.screen_events
+            and not has_particles
+            and not shadows_on
+        )
+        if lazy_chunks:
+            from .ops.physics_grid import (
+                resident_lazy_frame, resident_sync_entity,
+            )
 
-            def body(_i, carry):
-                w, _m = carry
-                return one_step_impl(w, inputs, frame_counts, decal_textures)
+            interval_lazy = max(2, cfg.physics.rebin_interval)
 
-            return jax.lax.fori_loop(0, n, body, (world, zero_metrics))
+            def n_steps(world: World, inputs: InputState, n: jnp.ndarray,
+                        frame_counts, decal_textures):
+                zero_metrics = self._zero_metrics(world)
+
+                def full(w, m):
+                    w = resident_sync_entity(w, cfg, solver_geom)
+                    return one_step_impl(w, inputs, frame_counts, decal_textures)
+
+                def lazy(w, m):
+                    w = write_inputs(w, inputs)
+                    w = advance_animation(w, frame_counts, cfg.dt_ratio)
+                    w = resident_lazy_frame(
+                        w, cfg, solver_geom, inputs, force_specs,
+                        cfg.dt_ratio, pin_rows, band_vel_bound,
+                    )
+                    return w, m
+
+                def body(i, carry):
+                    w, m = carry
+                    stale_layout = w.solver_pos_step != w.step_count
+                    expired = (w.solver_bin_step < 0) | (
+                        w.step_count - w.solver_bin_step >= interval_lazy
+                    )
+                    need_full = (i == n - 1) | stale_layout | expired
+                    return jax.lax.cond(need_full, full, lazy, w, m)
+
+                return jax.lax.fori_loop(0, n, body, (world, zero_metrics))
+
+        else:
+            def n_steps(world: World, inputs: InputState, n: jnp.ndarray,
+                        frame_counts, decal_textures):
+                zero_metrics = self._zero_metrics(world)
+
+                def body(_i, carry):
+                    w, _m = carry
+                    return one_step_impl(w, inputs, frame_counts, decal_textures)
+
+                return jax.lax.fori_loop(0, n, body, (world, zero_metrics))
 
         self._one_step_raw = one_step
         self._one_step_impl = one_step_impl

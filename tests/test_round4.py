@@ -674,3 +674,68 @@ def test_residency_heterogeneous_max_vel_survives_plan_rebins():
         e.run_plan(plan, max_chunk=5)
     a.step(6); b.step(6)
     _assert_worlds_equal(a, b, "hetero-maxv")
+
+
+class TestLazyReadbackChunk:
+    """Lazy-readback chunks (Engine._build_step n_steps + ops/physics_grid.
+    resident_lazy_frame/resident_sync_entity): mid-chunk FAST frames skip
+    the entity-order readback; rebin frames and the chunk's last frame sync
+    first. Chunked stepping must stay BIT-EXACT vs per-frame stepping (the
+    eager readback every frame) and vs residency='off'."""
+
+    def test_chunk_matches_per_frame_and_off(self):
+        a = _res_engine("on", 300, 7)
+        b = _res_engine("on", 300, 7)
+        c = _res_engine("off", 300, 7)
+        for e in (a, b, c):
+            e.input.set_mouse(500.0, 300.0, present=True)
+        a.step(12)                       # one chunk: lazy frames inside
+        for _ in range(12):
+            b.step(1)                    # eager full frame every time
+        c.step(12)
+        assert a._residency_on and b._residency_on
+        _assert_worlds_equal(a, b, "chunk-vs-frame")
+        _assert_worlds_equal(a, c, "chunk-vs-off")
+
+    def test_chunk_with_overflow_rows(self):
+        # pin solver capacity low and pile entities into few cells so some
+        # rows live OUTSIDE the layout: lazy frames must evolve them in
+        # entity order (tick forces + verlet + boundary fallback) exactly
+        # as the eager path does
+        import numpy as np
+
+        def build(res):
+            e = _res_engine(res, 200, 13, solver_capacity=8)
+            r = np.random.default_rng(3)
+            e.despawn_batch(e.active_indices("Ball"))
+            e.spawn_batch(
+                "Ball", 200,
+                x=r.uniform(400.0, 460.0, 200).astype(np.float32),
+                y=r.uniform(200.0, 260.0, 200).astype(np.float32),
+            )
+            return e
+
+        a, b, c = build("on"), build("on"), build("off")
+        a.step(9)
+        for _ in range(9):
+            b.step(1)
+        c.step(9)
+        assert a.metrics["solver_overflow"] > 0  # the case actually fires
+        _assert_worlds_equal(a, b, "overflow-chunk-vs-frame")
+        _assert_worlds_equal(a, c, "overflow-chunk-vs-off")
+
+    def test_mutation_between_chunks(self):
+        # host mutation invalidates the bin cache → the next chunk's first
+        # frame must treat ENTITY order as authoritative (no sync-over)
+        a, b = _res_engine("on", 400, 5), _res_engine("off", 400, 5)
+        a.step(6); b.step(6)
+        for e in (a, b):
+            act = e.active_indices("Ball")
+            e.despawn_batch(act[5:25])
+            e.spawn_batch(
+                "Ball", 30,
+                x=np.linspace(150, 2500, 30).astype(np.float32),
+                y=np.full(30, 150, np.float32),
+            )
+        a.step(11); b.step(11)
+        _assert_worlds_equal(a, b, "mutate-then-chunk")
