@@ -90,18 +90,9 @@ def main() -> None:
         and probe_layout_safe(reg.cls, cfg)
     )
 
-    interval = max(2, ph.rebin_interval)
-    import math
+    from multithreadedgameengine_tpu.ops.physics_grid import _band_spec
 
-    drift_px = (interval - 1) * 100.0
-    band_cells = int(math.ceil(drift_px / geom.cell_size)) + 4
-    r_lo = -(-(HALO + band_cells) // 8) * 8
-    pad_rows = (rows_buf - 2 * HALO) - R
-    bot = -(-(band_cells + pad_rows + HALO) // 8) * 8
-    lane_w = -(-(1 + band_cells) // 128) * 128
-    band = (r_lo, rows_buf - bot, lane_w)
-    if r_lo + bot + 8 > rows_buf or 2 * lane_w + 128 > cp:
-        band = None
+    band = _band_spec(cfg, geom, rows_buf, 100.0, True)[0]
 
     def fast_step(w, *, do_we=True, do_forces=True, substeps=2,
                   do_readback=True, do_derived=True, do_band=True):

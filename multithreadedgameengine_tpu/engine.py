@@ -1860,16 +1860,30 @@ class Engine:
                         frame_counts, decal_textures):
                 zero_metrics = self._zero_metrics(world)
 
+                # boundary_band_drift accumulates as a chunk-wide MAX
+                # (advisor r4): a mid-chunk drift violation followed by a
+                # rebin before the last frame would otherwise erase the
+                # evidence — lazy frames report drift from layout space,
+                # full frames from the eager readback
                 def full(w, m):
                     w = resident_sync_entity(w, cfg, solver_geom)
-                    return one_step_impl(w, inputs, frame_counts, decal_textures)
+                    w, m2 = one_step_impl(w, inputs, frame_counts, decal_textures)
+                    m2 = dict(m2)
+                    m2["boundary_band_drift"] = jnp.maximum(
+                        m2["boundary_band_drift"], m["boundary_band_drift"]
+                    )
+                    return w, m2
 
                 def lazy(w, m):
                     w = write_inputs(w, inputs)
                     w = advance_animation(w, frame_counts, cfg.dt_ratio)
-                    w = resident_lazy_frame(
+                    w, drift = resident_lazy_frame(
                         w, cfg, solver_geom, inputs, force_specs,
                         cfg.dt_ratio, pin_rows, band_vel_bound,
+                    )
+                    m = dict(m)
+                    m["boundary_band_drift"] = jnp.maximum(
+                        m["boundary_band_drift"], drift
                     )
                     return w, m
 

@@ -166,6 +166,7 @@ def _resident_kernel_sym(
     xt_ref, yt_ref, rt_ref, mt_ref,
     ax_ref, ay_ref, ac_ref, sx_ref, sy_ref, sc_ref,
     occ_ctr_ref, occ_halo_ref, bx_ref, by_ref, bc_ref,
+    oki_ref, ai_ref, bi_ref,
     sems,
     *, tr: int, cap: int, strength: float, clamp_bounds=None,
 ):
@@ -175,6 +176,7 @@ def _resident_kernel_sym(
         xt_ref, yt_ref, rt_ref, mt_ref,
         ax_ref, ay_ref, ac_ref, sx_ref, sy_ref, sc_ref,
         occ_ctr_ref, occ_halo_ref, bx_ref, by_ref, bc_ref,
+        oki_ref, ai_ref, bi_ref,
         sems, tr=tr, cap=cap, strength=strength,
         clamp_bounds=clamp_bounds,
     )
@@ -190,6 +192,7 @@ def _resident_body_pred(
     sx_ref, sy_ref, sc_ref,  # spill accumulators [cap, 8, Cp]
     occ_ctr_ref, occ_halo_ref,  # SMEM (cap,) per-plane occupancy flags
     bx_ref, by_ref, bc_ref,  # scratch back-sums [TR, Cp]
+    oki_ref, ai_ref, bi_ref,  # scratch decoded i-side planes [cap, TR, Cp]
     sems,
     *, tr: int, cap: int, strength: float, clamp_bounds=None,
 ):
@@ -276,7 +279,28 @@ def _resident_body_pred(
             mk = mt_ref[pl.ds(k, 1), :, :]
             occ_halo_ref[k] = jnp.any(((mk >> 24) & 1) == 1).astype(jnp.int32)
             mkc = mt_ref[pl.ds(k, 1), ctr, :]
-            occ_ctr_ref[k] = jnp.any(((mkc >> 24) & 1) == 1).astype(jnp.int32)
+            occ_k = jnp.any(((mkc >> 24) & 1) == 1)
+            occ_ctr_ref[k] = occ_k.astype(jnp.int32)
+
+            # hoisted i-side decodes (round 5): the pair body used to decode
+            # ok/trigger/static from meta per (offset, j, i) iteration —
+            # ~5*occupied² decodes per tile; once per plane here instead.
+            # The share selects factorize: share(i,j) = A_i*B_j and
+            # share_j(i,j) = A_j*B_i with A = (1-trig)(1-static) and
+            # B = (1-trig)(0.5+0.5*static) — one multiply per side replaces
+            # the or+2-select chain (verified against the select form by the
+            # symmetric-vs-two-sided suite, tests/test_pallas.py).
+            @pl.when(occ_k)
+            def _():
+                pk = mkc >> 24
+                ksl = (pl.ds(k, 1), slice(None), slice(None))
+                oki_ref[ksl] = (pk & 1).astype(jnp.int32)
+                tq = ((pk >> 1) & 1).astype(jnp.float32)
+                sq = ((pk >> 2) & 1).astype(jnp.float32)
+                nt = 1.0 - tq
+                ai_ref[ksl] = nt * (1.0 - sq)
+                bi_ref[ksl] = nt * (0.5 + 0.5 * sq)
+
             return 0
 
         jax.lax.fori_loop(0, cap, occ_body, 0)
@@ -320,10 +344,14 @@ def _resident_body_pred(
                         yb = yt_ref[sl]
                         rb_ = rt_ref[sl]
                     pkb = mjs >> 24
-                    idb = mjs & jnp.int32(0xFFFFFF)
                     okb = (pkb & 1) == 1
-                    trig_b = (pkb & 2) != 0
-                    st_j = (pkb & 4) != 0
+                    # j-side share factors (see occ_body: share = A_i*B_j,
+                    # share_j = A_j*B_i), decoded once per (offset, j)
+                    tqb = ((pkb >> 1) & 1).astype(jnp.float32)
+                    sqb = ((pkb >> 2) & 1).astype(jnp.float32)
+                    ntb = 1.0 - tqb
+                    a_j = ntb * (1.0 - sqb)
+                    b_j = ntb * (0.5 + 0.5 * sqb)
                     if back:
                         bx_ref[...] = jnp.zeros(bx_ref.shape, jnp.float32)
                         by_ref[...] = jnp.zeros(by_ref.shape, jnp.float32)
@@ -333,83 +361,75 @@ def _resident_body_pred(
                         @pl.when(occ_ctr_ref[ii] != 0)
                         def _():
                             isl = (pl.ds(ii, 1), ctr, slice(None))
-                            m_i = mt_ref[isl]
-                            pk_i = m_i >> 24
-                            id_i = m_i & jnp.int32(0xFFFFFF)
-                            ok_i = (pk_i & 1) == 1
-                            trig_i = (pk_i & 2) != 0
-                            st_i = (pk_i & 4) != 0
+                            # decoded planes are center-only [cap, TR, Cp]
+                            asl = (pl.ds(ii, 1), slice(None), slice(None))
                             xs = xt_ref[isl]
                             ys = yt_ref[isl]
                             rs = rt_ref[isl]
 
-                            ok = ok_i & okb & (id_i != idb)
+                            # gid uniqueness makes the old (id_i != idb)
+                            # term provably true: a gid occupies exactly one
+                            # slot (unique-index scatter), and every
+                            # (offset, j, i) pairing reads two DISTINCT
+                            # slots (same-cell runs i > j; shifted offsets
+                            # read a different cell) — dropped from the hot
+                            # path, ids now decode only in the rare
+                            # coincident-pair branch below
+                            ok = (oki_ref[asl] != 0) & okb
                             dx = xs - xb
                             dy = ys - yb
                             d2 = dx * dx + dy * dy
                             min_d = rs + rb_
                             overlap = ok & (d2 < min_d * min_d)
 
-                            trig = trig_i | trig_b
-                            share = jnp.where(
-                                trig | st_i, 0.0, jnp.where(st_j, 1.0, 0.5)
-                            )
                             inv_dist = jnp.where(d2 > 0, jax.lax.rsqrt(d2), 0.0)
                             dist = d2 * inv_dist
-                            corr = (min_d - dist) * strength * share
+                            # shared push base: (depth*strength/dist) once,
+                            # then one multiply per side's share — replaces
+                            # the per-side corr/corr_j chains
+                            base = (min_d - dist) * strength * inv_dist
                             ov = overlap.astype(jnp.float32)
+                            pxc = dx * (base * ov)
+                            pyc = dy * (base * ov)
+                            share = ai_ref[asl] * b_j
+                            if back:
+                                share_j = a_j * bi_ref[asl]
                             zero = d2 == 0
                             any_zero = jnp.any(zero & ok)
 
-                            if back:
-                                share_j = jnp.where(
-                                    trig | st_j, 0.0, jnp.where(st_i, 1.0, 0.5)
-                                )
-                                corr_j = (min_d - dist) * strength * share_j
-
-                            asl = (pl.ds(ii, 1), slice(None), slice(None))
-
                             @pl.when(jnp.logical_not(any_zero))
                             def _():
-                                ax_ref[asl] += dx * inv_dist * corr * ov
-                                ay_ref[asl] += dy * inv_dist * corr * ov
+                                ax_ref[asl] += pxc * share
+                                ay_ref[asl] += pyc * share
                                 if back:
-                                    bx_ref[...] += (-(dx * inv_dist * corr_j) * ov)[0]
-                                    by_ref[...] += (-(dy * inv_dist * corr_j) * ov)[0]
+                                    bx_ref[...] += (-(pxc * share_j))[0]
+                                    by_ref[...] += (-(pyc * share_j))[0]
                                     bc_ref[...] += overlap.astype(jnp.int32)[0]
 
                             @pl.when(any_zero)
                             def _():
+                                m_i = mt_ref[isl]
+                                id_i = m_i & jnp.int32(0xFFFFFF)
+                                idb = mjs & jnp.int32(0xFFFFFF)
                                 ux, uy = _pair_hash_dir(id_i, idb, salt)
                                 sign = jnp.where(id_i < idb, 1.0, -1.0)
-                                zmag = jnp.where(
-                                    trig | st_i, 0.0, jnp.where(st_j, 2.0, 1.0)
-                                )
-                                zshare = zmag * sign * jnp.float32(0.001)
-                                push_x = jnp.where(
-                                    zero, ux * zshare, dx * inv_dist * corr
-                                )
-                                push_y = jnp.where(
-                                    zero, uy * zshare, dy * inv_dist * corr
-                                )
-                                ax_ref[asl] += push_x * ov
-                                ay_ref[asl] += push_y * ov
+                                # zmag = 2*A_i*B_j (0 trig/static-i; 2 if
+                                # j static; else 1 — same table as before)
+                                zshare = (2.0 * share) * sign * jnp.float32(0.001)
+                                push_x = jnp.where(zero, ux * zshare * ov, pxc * share)
+                                push_y = jnp.where(zero, uy * zshare * ov, pyc * share)
+                                ax_ref[asl] += push_x
+                                ay_ref[asl] += push_y
                                 if back:
-                                    zmag_j = jnp.where(
-                                        trig | st_j, 0.0,
-                                        jnp.where(st_i, 2.0, 1.0),
-                                    )
-                                    zshare_j = zmag_j * (-sign) * jnp.float32(0.001)
+                                    zshare_j = (2.0 * share_j) * (-sign) * jnp.float32(0.001)
                                     bxv = jnp.where(
-                                        zero, ux * zshare_j,
-                                        -(dx * inv_dist * corr_j),
+                                        zero, ux * zshare_j * ov, -(pxc * share_j)
                                     )
                                     byv = jnp.where(
-                                        zero, uy * zshare_j,
-                                        -(dy * inv_dist * corr_j),
+                                        zero, uy * zshare_j * ov, -(pyc * share_j)
                                     )
-                                    bx_ref[...] += (bxv * ov)[0]
-                                    by_ref[...] += (byv * ov)[0]
+                                    bx_ref[...] += bxv[0]
+                                    by_ref[...] += byv[0]
                                     bc_ref[...] += overlap.astype(jnp.int32)[0]
 
                             ac_ref[asl] += overlap.astype(jnp.int32)
@@ -718,6 +738,9 @@ def pair_pass_resident(
             pltpu.VMEM((tr, cp), jnp.float32),  # back-sum dx
             pltpu.VMEM((tr, cp), jnp.float32),  # back-sum dy
             pltpu.VMEM((tr, cp), jnp.int32),  # back-sum count
+            pltpu.VMEM((cap, tr, cp), jnp.int32),  # decoded ok_i planes
+            pltpu.VMEM((cap, tr, cp), jnp.float32),  # share factor A_i
+            pltpu.VMEM((cap, tr, cp), jnp.float32),  # share factor B_i
         ]
     else:
         kernel = functools.partial(

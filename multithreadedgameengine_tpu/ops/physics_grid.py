@@ -388,13 +388,14 @@ def _resident_substeps(
     NaN-carry px variant (see grid_constraints_resident's px/py notes);
     ``True`` applies the full reflected-bounce _boundary to real px/py.
 
-    ``band=(r_lo, r_hi, lane_w)`` activates the BANDED boundary (round 4,
-    requires ``carry_px`` + the symmetric kernel): the POSITION clamp folds
-    into the pair kernel's VMEM tiles (every slot, every substep — positions
-    can never escape the world), while the px/py bounce write — which only
-    fires for entities that actually clamp, i.e. within one drift bound of a
-    world border — touches only the border bands: layout rows [:r_lo] and
-    [r_hi:] for the y axis, lanes [:lane_w] and [-lane_w:] for x. The full-
+    ``band=(r_lo, r_hi, lane_lo, lane_hi)`` activates the BANDED boundary
+    (round 4, requires ``carry_px`` + the symmetric kernel): the POSITION
+    clamp folds into the pair kernel's VMEM tiles (every slot, every substep
+    — positions can never escape the world), while the px/py bounce write —
+    which only fires for entities that actually clamp, i.e. within one drift
+    bound of a world border — touches only the border bands: layout rows
+    [:r_lo] and [r_hi:] for the y axis, lanes [:lane_lo] and [-lane_hi:]
+    for x (lane_hi also spans the column pad, _band_spec). The full-
     layout `_boundary` HBM read-modify-write (measured 1.6 ms/substep at the
     1M geometry, benchmarks/probe_fast_parts.py) drops to band-sized slices.
     Band sizing + the drift-violation metric live in the caller
@@ -406,7 +407,7 @@ def _resident_substeps(
     elasticity = ph.boundary_elasticity
     if band is not None:
         assert carry_px and use_symmetric
-        r_lo, r_hi, lane_w = band
+        r_lo, r_hi, lane_lo, lane_hi = band
         cp_w = gx.shape[2]
 
     def _band_px(a, pa, sls, extent):
@@ -428,8 +429,8 @@ def _resident_substeps(
             # the kernel (clamp_bounds below) for ALL slots
             gpx = _band_px(
                 gx, gpx,
-                (jnp.index_exp[:, :, :lane_w],
-                 jnp.index_exp[:, :, cp_w - lane_w:]),
+                (jnp.index_exp[:, :, :lane_lo],
+                 jnp.index_exp[:, :, cp_w - lane_hi:]),
                 cfg.world_width,
             )
             gpy = _band_px(
@@ -766,6 +767,62 @@ def grid_constraints(
     return world, jnp.sum(binned, dtype=jnp.int32), overflow
 
 
+def _use_symmetric(cfg: EngineConfig, cp: int) -> bool:
+    """Shared predicate for the predicated-symmetric pair kernel (used by
+    resident_persistent_step, resident_lazy_frame and probes — one source
+    of truth so banding/gating decisions can't diverge)."""
+    ph = cfg.physics
+    return bool(ph.solver_symmetric) and (
+        ph.solver_predicated == "on"
+        or (ph.solver_predicated == "auto" and cp >= 512)
+    )
+
+
+def _pin_layout_positions(gx0, gy0, flat0, in_grid0, xs, ys, pin_rows, total):
+    """Refresh host-driven rows' layout positions (the mouse, written by
+    apply_inputs in entity order every frame): one tiny scatter per pinned
+    row — same "current positions in stale slots" semantics as the
+    scatter-per-frame bin cache."""
+    for r in pin_rows:
+        fr = jnp.where(in_grid0[r], flat0[r], total)
+        gx0 = gx0.reshape(total).at[fr].set(xs[r], mode="drop").reshape(gx0.shape)
+        gy0 = gy0.reshape(total).at[fr].set(ys[r], mode="drop").reshape(gy0.shape)
+    return gx0, gy0
+
+
+def _layout_verlet(
+    gx0, gy0, gpx0, gpy0, meta0, maxv0, cfg, force_specs, inputs, dt_ratio
+):
+    """The layout-space tick-force + Verlet move shared by
+    resident_persistent_step's FAST branch and resident_lazy_frame (one
+    implementation so the lazy chunk can never drift from the eager FAST
+    semantics the bit-exactness tests pin — advisor r4). Applies
+    eval_layout_forces over slots, the damping/gravity/max_vel-clamped
+    Verlet displacement (verlet_move's formula, physics_worker.js:240-316),
+    moving-slot predication from the meta flags. Returns (gx1, gy1, gpx1,
+    gpy1)."""
+    from ..behavior import eval_layout_forces
+
+    ph = cfg.physics
+    gid0 = meta0 & 0xFFFFFF
+    gax, gay = eval_layout_forces(force_specs, gx0, gy0, gid0, inputs, cfg)
+    mv = ((meta0 >> 24) & 8) != 0
+    damping = jnp.float32(ph.verlet_damping)
+    gscale = jnp.float32(dt_ratio) ** 2
+    grav_x, grav_y = ph.gravity
+    dx = (gx0 - gpx0) * damping + gscale * grav_x + gax * dt_ratio
+    dy = (gy0 - gpy0) * damping + gscale * grav_y + gay * dt_ratio
+    max_speed = jnp.where(maxv0 > 0, maxv0, 100.0)
+    dx = jnp.clip(dx, -max_speed, max_speed)
+    dy = jnp.clip(dy, -max_speed, max_speed)
+    return (
+        jnp.where(mv, gx0 + dx, gx0),
+        jnp.where(mv, gy0 + dy, gy0),
+        jnp.where(mv, gx0, gpx0),
+        jnp.where(mv, gy0, gpy0),
+    )
+
+
 def _band_spec(
     cfg: EngineConfig,
     geom: GridGeom,
@@ -778,21 +835,30 @@ def _band_spec(
     between rebins is bounded by (interval-1) Verlet-clamped frames plus
     pair-push / cell-quantization slack (4 cells covers the max radius
     twice over — solver cells are >= 2*r_max + reach slack,
-    solver_geometry). Returns ((r_lo, r_hi, lane_w) or None, band_cells)."""
+    solver_geometry). Returns ((r_lo, r_hi, lane_lo, lane_hi) or None,
+    band_cells)."""
     from .pallas_kernels import HALO
 
     if not (band_vel_bound > 0.0 and use_symmetric):
         return None, 0
     interval = max(2, cfg.physics.rebin_interval)
-    R, _C, _cap, cp = _resident_dims(geom)[:4]
+    R, C, _cap, cp = _resident_dims(geom)[:4]
     drift_px = (interval - 1) * float(band_vel_bound)
     band_cells = int(math.ceil(drift_px / geom.cell_size)) + 4
     r_lo = -(-(HALO + band_cells) // 8) * 8
     pad_rows = (rows_buf - 2 * HALO) - R
     bot = -(-(band_cells + pad_rows + HALO) // 8) * 8
-    lane_w = -(-(1 + band_cells) // 128) * 128
-    if r_lo + bot + 8 <= rows_buf and 2 * lane_w + 128 <= cp:
-        return (r_lo, rows_buf - bot, lane_w), band_cells
+    lane_lo = -(-(1 + band_cells) // 128) * 128
+    # The RIGHT band must reach through the column pad cp-(C+2) (advisor
+    # round-4 high finding): entities occupy lanes 1..C, so the slice
+    # [:, :, cp-lane_hi:] must start at or below lane C-band_cells —
+    # lane_hi >= cp - C + band_cells. Sizing it like the left band
+    # (1+band_cells) left the whole band inside the pad for geometries
+    # with a large lane pad (e.g. C in [383,390] at cp=512): right-border
+    # entities got the in-kernel clamp but never the px bounce.
+    lane_hi = -(-(cp - C + band_cells) // 128) * 128
+    if r_lo + bot + 8 <= rows_buf and lane_lo + lane_hi + 128 <= cp:
+        return (r_lo, rows_buf - bot, lane_lo, lane_hi), band_cells
     return None, band_cells
 
 
@@ -859,7 +925,6 @@ def resident_persistent_step(
     Returns (world, n_binned, overflow_count, band_drift).
     """
     from .physics import verlet_move
-    from ..behavior import eval_layout_forces
 
     ph = cfg.physics
     interval = max(2, ph.rebin_interval)
@@ -911,32 +976,13 @@ def resident_persistent_step(
         gx0, gy0 = world.solver_x, world.solver_y
         gpx0, gpy0 = world.solver_px, world.solver_py
 
-        # pin host-driven rows (the mouse, written by apply_inputs in
-        # entity order every frame): one tiny scatter refreshes their
-        # layout position — same "current positions in stale slots"
-        # semantics as the scatter-per-frame bin cache
-        for r in pin_rows:
-            fr = jnp.where(in_grid0[r], flat0[r], total)
-            gx0 = gx0.reshape(total).at[fr].set(te.x[r], mode="drop").reshape(gx0.shape)
-            gy0 = gy0.reshape(total).at[fr].set(te.y[r], mode="drop").reshape(gy0.shape)
-
-        gid0 = meta0 & 0xFFFFFF
-        gax, gay = eval_layout_forces(
-            force_specs, gx0, gy0, gid0, inputs, cfg
+        gx0, gy0 = _pin_layout_positions(
+            gx0, gy0, flat0, in_grid0, te.x, te.y, pin_rows, total
         )
-        mv = ((meta0 >> 24) & 8) != 0
-        damping = jnp.float32(ph.verlet_damping)
-        gscale = jnp.float32(dt_ratio) ** 2
-        grav_x, grav_y = ph.gravity
-        dx = (gx0 - gpx0) * damping + gscale * grav_x + gax * dt_ratio
-        dy = (gy0 - gpy0) * damping + gscale * grav_y + gay * dt_ratio
-        max_speed = jnp.where(maxv0 > 0, maxv0, 100.0)
-        dx = jnp.clip(dx, -max_speed, max_speed)
-        dy = jnp.clip(dy, -max_speed, max_speed)
-        gx1 = jnp.where(mv, gx0 + dx, gx0)
-        gy1 = jnp.where(mv, gy0 + dy, gy0)
-        gpx1 = jnp.where(mv, gx0, gpx0)
-        gpy1 = jnp.where(mv, gy0, gpy0)
+        gx1, gy1, gpx1, gpy1 = _layout_verlet(
+            gx0, gy0, gpx0, gpy0, meta0, maxv0, cfg, force_specs, inputs,
+            dt_ratio,
+        )
         return (
             flat0, in_grid0, grad0, meta0, maxv0, gx1, gy1, gpx1, gpy1,
         )
@@ -984,10 +1030,7 @@ def resident_persistent_step(
     g_moving = ((meta >> 24) & 8) != 0
     salt = world.step_count.astype(jnp.uint32)
     interp = jax.default_backend() != "tpu"
-    use_symmetric = bool(ph.solver_symmetric) and (
-        ph.solver_predicated == "on"
-        or (ph.solver_predicated == "auto" and cp >= 512)
-    )
+    use_symmetric = _use_symmetric(cfg, cp)
 
     band, band_cells = _band_spec(cfg, geom, rows_buf, band_vel_bound, use_symmetric)
 
@@ -1147,7 +1190,11 @@ def resident_lazy_frame(
     Preconditions (the caller's full/lazy routing enforces them): layout
     position-current, bins unexpired and not host-invalidated, every
     ticking class layout-safe, and no per-frame entity-order consumers in
-    the step (events, particles, shadows, neighbor ticks)."""
+    the step (events, particles, shadows, neighbor ticks).
+
+    Returns (world, band_drift) — band_drift computed in layout space
+    (each occupied slot's (row, lane) is its own bin), so lazy frames
+    report drift violations without a readback (advisor r4)."""
     from ..behavior import eval_layout_forces
 
     ph = cfg.physics
@@ -1199,40 +1246,54 @@ def resident_lazy_frame(
     ex, epx = _boundary(ex, epx, c.radius, cfg.world_width, moving & over, elasticity)
     ey, epy = _boundary(ey, epy, c.radius, cfg.world_height, moving & over, elasticity)
 
-    # --- layout space: identical to resident_persistent_step._fast
+    # --- layout space: the SAME _layout_verlet as
+    # resident_persistent_step._fast (advisor r4: one implementation, so a
+    # FAST-branch change can't silently break the lazy chunk's bit-exactness)
     flat0, in_grid0 = world.solver_flat, world.solver_in_grid
     grad0, meta0, maxv0 = world.solver_grad, world.solver_meta, world.solver_maxv
-    gx0, gy0 = world.solver_x, world.solver_y
-    gpx0, gpy0 = world.solver_px, world.solver_py
-    for r in pin_rows:
-        fr = jnp.where(in_grid0[r], flat0[r], total)
-        gx0 = gx0.reshape(total).at[fr].set(ex[r], mode="drop").reshape(gx0.shape)
-        gy0 = gy0.reshape(total).at[fr].set(ey[r], mode="drop").reshape(gy0.shape)
-
-    gid0 = meta0 & 0xFFFFFF
-    gax, gay = eval_layout_forces(force_specs, gx0, gy0, gid0, inputs, cfg)
+    gx0, gy0 = _pin_layout_positions(
+        world.solver_x, world.solver_y, flat0, in_grid0, ex, ey, pin_rows,
+        total,
+    )
+    gx1, gy1, gpx1, gpy1 = _layout_verlet(
+        gx0, gy0, world.solver_px, world.solver_py, meta0, maxv0, cfg,
+        force_specs, inputs, dt_ratio,
+    )
     mv = ((meta0 >> 24) & 8) != 0
-    dx = (gx0 - gpx0) * damping + gscale * grav_x + gax * dt_ratio
-    dy = (gy0 - gpy0) * damping + gscale * grav_y + gay * dt_ratio
-    max_speed = jnp.where(maxv0 > 0, maxv0, 100.0)
-    dx = jnp.clip(dx, -max_speed, max_speed)
-    dy = jnp.clip(dy, -max_speed, max_speed)
-    gx1 = jnp.where(mv, gx0 + dx, gx0)
-    gy1 = jnp.where(mv, gy0 + dy, gy0)
-    gpx1 = jnp.where(mv, gx0, gpx0)
-    gpy1 = jnp.where(mv, gy0, gpy0)
 
     salt = world.step_count.astype(jnp.uint32)
     interp = jax.default_backend() != "tpu"
-    use_symmetric = bool(ph.solver_symmetric) and (
-        ph.solver_predicated == "on"
-        or (ph.solver_predicated == "auto" and cp >= 512)
+    use_symmetric = _use_symmetric(cfg, cp)
+    band, band_cells = _band_spec(
+        cfg, geom, rows_buf, band_vel_bound, use_symmetric
     )
-    band = _band_spec(cfg, geom, rows_buf, band_vel_bound, use_symmetric)[0]
     gx2, gy2, gpx2, gpy2, _cnt = _resident_substeps(
         gx1, gy1, gpx1, gpy1, grad0, meta0, mv, cfg, tr, n_tiles,
         salt, use_symmetric, interp, carry_px=True, band=band,
     )
+
+    # band-assumption monitor IN LAYOUT SPACE (advisor r4: mid-chunk drift
+    # followed by a rebin before the chunk's final full frame erased the
+    # evidence when only full frames reported it): each occupied moving
+    # slot's own (row, lane) IS its bin, so the drift check needs no
+    # entity-order readback — pure elementwise over the layout.
+    if band is not None:
+        from .pallas_kernels import HALO as _H
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, gx2.shape, 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, gx2.shape, 1)
+        cell = jnp.float32(geom.cell_size)
+        ctr_x = (lane.astype(jnp.float32) - 0.5) * cell  # lane-1 cell center
+        ctr_y = (row.astype(jnp.float32) - _H + 0.5) * cell
+        lim = jnp.float32((band_cells - 1) * geom.cell_size)
+        band_drift = jnp.sum(
+            mv & (
+                (jnp.abs(gx2 - ctr_x) > lim) | (jnp.abs(gy2 - ctr_y) > lim)
+            ),
+            dtype=jnp.int32,
+        )
+    else:
+        band_drift = jnp.int32(0)
 
     return world.replace(
         transform=t.replace(x=ex, y=ey),
@@ -1243,4 +1304,4 @@ def resident_lazy_frame(
         solver_py=gpy2,
         solver_pos_step=(world.step_count + 1).astype(jnp.int32),
         step_count=world.step_count + 1,
-    )
+    ), band_drift

@@ -535,11 +535,12 @@ class TestBandedBoundary:
 
     W, H = 30_000.0, 6_000.0  # wide: cols_pad >= 512 so the band engages
 
-    def _eng(self, residency, band="auto", seed=21, elasticity=0.8):
+    def _eng(self, residency, band="auto", seed=21, elasticity=0.8, w=None):
         from multithreadedgameengine_tpu.models.balls import make_balls_engine
 
         eng = make_balls_engine(
-            n_balls=300, seed=seed, world_width=self.W, world_height=self.H,
+            n_balls=300, seed=seed, world_width=w or self.W,
+            world_height=self.H,
             physics=dict(
                 RES_PHYSICS, position_residency=residency,
                 boundary_band=band, boundary_elasticity=elasticity,
@@ -588,6 +589,47 @@ class TestBandedBoundary:
         a = np.asarray(s.transform.active)
         assert (x[a] >= r[a] - 1e-4).all()
         assert (x[a] <= self.W - r[a] + 1e-4).all()
+
+    def test_banded_large_lane_pad(self):
+        """Regression (advisor r4, HIGH): at geometries where the column
+        pad cp-(C+2) is large — here W=28700 gives C=383 solver cols, so
+        cp=512 and a 127-lane pad — the right px-bounce band must span
+        THROUGH the pad down to lane C-band_cells. The old 1+band_cells
+        sizing put the whole right band inside the pad (start lane 384 >
+        rightmost occupied lane 383): right-border entities got the
+        in-kernel position clamp but never the velocity reflection, and
+        boundary_band_drift could not see it."""
+        import numpy as np
+
+        W = 28_700.0
+        engines = {
+            "banded": self._eng("on", band="auto", w=W),
+            "full": self._eng("on", band="off", w=W),
+            "off": self._eng("off", band="off", w=W),
+        }
+        eng = engines["banded"]
+        cfg, geom, _ = eng._solver_plan(eng._resolve_spatial())
+        from multithreadedgameengine_tpu.ops.physics_grid import (
+            _band_spec, _resident_dims,
+        )
+
+        C, cp, rows_buf = (
+            geom.cols, _resident_dims(geom)[3], _resident_dims(geom)[6]
+        )
+        assert C == 383 and cp == 512, (C, cp)  # the pathological pad
+        band, band_cells = _band_spec(cfg, geom, rows_buf, 100.0, True)
+        assert band is not None  # banding must still engage here
+        # the right band's slice start must reach the occupied lanes
+        assert cp - band[3] <= C - band_cells, (band, band_cells)
+
+        xs, ys, vxs, vys = self._border_movers(W, self.H)
+        for e in engines.values():
+            e.despawn_batch(e.active_indices("Ball"))
+            e.spawn_batch("Ball", 40, x=xs, y=ys, vx=vxs, vy=vys)
+            e.step(6)
+        assert int(np.asarray(engines["banded"].metrics["boundary_band_drift"])) == 0
+        _assert_worlds_equal(engines["banded"], engines["full"], "pad-band-vs-full")
+        _assert_worlds_equal(engines["banded"], engines["off"], "pad-band-vs-off")
 
     def test_max_vel_raise_rederives_band(self):
         eng = self._eng("on", band="auto")
