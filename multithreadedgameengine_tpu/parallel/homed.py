@@ -36,10 +36,23 @@ step's within-cell insertion order is ascending entity index, and a stable
 cell-sort over a gid-sorted chunk reproduces it for every fully-owned table
 row; phase B restores it globally with one small sort of the routed rows.
 
-Scope (v1): ticks (neighbor-consuming and local), XLA grid + Pallas solver,
-device-side despawns, particles/emissions replicated as in halo.py.
-Collision events, shadow sprites and decals remain on the index-homed step
-(make_halo_step) — scenes using them should keep it; this builder raises.
+Scope (v2, round 5): the FULL mixed feature set — ticks (neighbor-consuming
+and local), XLA grid + Pallas solver, device-side despawns, particles/
+emissions replicated as in halo.py, AND the three passes that kept mixed
+scenes on the index-homed step in v1 (each the same per-slab pass as
+halo.py, driven from the gid-sorted chunks):
+ - collision events: per-chunk hook-scoped pair recording with global gids
+   → all_gather + rank-compaction into the replicated pair table → the
+   same device-side Enter/Stay/Exit diff as the single-chip step;
+ - shadow sprites: global first-L light selection by gid order, sprites
+   computed on the light's OWNING chunk (its neighbor list lives there),
+   psum-composed output;
+ - decal stamping: replicated particle pool → device-identical stamp
+   batches into the replicated tile canvas.
+Violator rows (out-of-band residents awaiting migration retry) degrade for
+those passes exactly as they do for neighbor ticks: no neighbor list, so no
+recorded pairs / no shadow contribution until they migrate home (0 frames
+in healthy runs — `home_violators`).
 
 Host control plane: chunks are placed once (`place_fn`); host-side spawns /
 despawns between steps require re-placement (`place_fn(unplace_fn(...))`) —
@@ -73,6 +86,7 @@ from ..ops.physics_grid import (
     scatter_solver_grid,
 )
 from .halo import (
+    _ENTITY_COMPONENTS,
     _edge_perms,
     _merge_emissions,
     entity_leaf_specs,
@@ -80,6 +94,25 @@ from .halo import (
     route_capacity,
     unpack_world_rows,
 )
+
+
+def _resize_entity_leaves(world: World, rows: int) -> World:
+    """Zeroed copy of ``world`` with every PER-ENTITY component leaf given a
+    ``rows``-long leading axis. Selection is BY COMPONENT NAME (the same
+    sets halo_world_specs shards), never by shape: a shape test would
+    misclassify equal-length non-entity leaves — e.g. a particle pool with
+    max_particles == n_entities — and silently zero them through a
+    place/unplace round trip."""
+
+    def expand(comp):
+        return jax.tree.map(
+            lambda leaf: jnp.zeros((rows,) + leaf.shape[1:], leaf.dtype),
+            comp,
+        )
+
+    ent = {name: expand(getattr(world, name)) for name in _ENTITY_COMPONENTS}
+    ent["custom"] = {k: expand(v) for k, v in world.custom.items()}
+    return world.replace(**ent)
 
 _I32_MAX = np.int32(2**31 - 1)
 
@@ -120,20 +153,29 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
     cfg = engine._resolve_spatial()
     if cfg.spatial.method != "grid":
         raise ValueError("homed step requires spatial.method='grid'")
-    if cfg.logic.collision_events:
-        raise ValueError(
-            "homed step v1 does not carry collision events — use "
-            "make_halo_step for event scenes"
-        )
-    if cfg.lighting.enabled and cfg.lighting.shadows_enabled:
-        raise ValueError(
-            "homed step v1 does not compute shadow sprites — use "
-            "make_halo_step"
-        )
-    if cfg.particle.max_particles > 0 and cfg.particle.decals:
-        raise ValueError("homed step v1 does not stamp decals — use make_halo_step")
     if check_vma is None:
         check_vma = cfg.physics.solver != "pallas"
+    # mixed-scene passes (v2): the same per-slab event / shadow / decal
+    # passes as make_halo_step, driven from the gid-sorted chunks
+    ev_on = cfg.logic.collision_events
+    hooked_types = tuple(
+        reg.entity_type
+        for reg in engine.classes.values()
+        if reg.count > 0 and engine._class_has_hooks(reg.cls)
+    )
+    ev_scope_hooked = (
+        ev_on and not cfg.logic.record_all_pairs and bool(hooked_types)
+    )
+    max_pairs = cfg.physics.max_collision_pairs
+    p_loc = max_pairs  # per-chunk pair-table slots
+    shadows_on = cfg.lighting.enabled and cfg.lighting.shadows_enabled
+    decals_on = cfg.particle.max_particles > 0 and cfg.particle.decals
+    if decals_on:
+        from ..ops.decals import default_decal_textures
+
+        decal_textures = default_decal_textures(len(engine.sprites.textures))
+    else:
+        decal_textures = None
     cfg, solver_geom, forced = engine._solver_plan(cfg)
     if solver_geom is None or forced:
         raise ValueError("homed step could not derive a solver geometry")
@@ -143,16 +185,28 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
     has_particles = cfg.particle.max_particles > 0
     emit_budget = cfg.particle.max_emit_per_step if has_particles else 0
     payload_channels, extra_paths = engine._payload_plan(cfg)
+    if shadows_on:
+        # caster data rides the candidate table (halo.py's channels)
+        payload_channels = dict(payload_channels)
+        extra_paths = list(extra_paths)
+        for p in ("__shadow__", "shadow.height"):
+            if p not in payload_channels:
+                payload_channels[p] = 3 + len(extra_paths)
+                extra_paths.append(p)
     type_specs = tuple(
         (reg.cls, reg.entity_type)
         for reg in engine.classes.values()
         if reg.count > 0 and getattr(reg.cls, "tick", None) is not None
     )
-    need_neighbors = any(
-        reg.count > 0
-        and getattr(reg.cls, "tick", None) is not None
-        and reg.cls.uses_neighbors
-        for reg in engine.classes.values()
+    need_neighbors = (
+        ev_on
+        or shadows_on  # lights walk their neighbor lists
+        or any(
+            reg.count > 0
+            and getattr(reg.cls, "tick", None) is not None
+            and reg.cls.uses_neighbors
+            for reg in engine.classes.values()
+        )
     )
     frame_counts = engine._frame_counts()
     specs = entity_leaf_specs(world0)
@@ -208,12 +262,35 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
             lt.active & (gid >= 0) & res_fin & ~in_band, dtype=jnp.int32
         )
 
+        def hooked_mask(types):
+            m = jnp.zeros_like(lt.active)
+            for et in types:
+                m |= lt.entity_type == jnp.int32(et)
+            return m
+
         grow_r = jnp.clip((lt.y * inv_sp).astype(jnp.int32), 0, rows_g - 1)
         gcol_r = jnp.clip((lt.x * inv_sp).astype(jnp.int32), 0, cols_g - 1)
         loc_row = jnp.clip(grow_r - d * rpd + hw, 0, rows_loc - 1)
         from ..behavior import read_field
 
-        extras = [jnp.asarray(read_field(local, p), f32) for p in extra_paths]
+        extras = []
+        for p in extra_paths:
+            if p == "__collision__":
+                # packed events channel — same encoding as the single-chip
+                # step and make_halo_step (engine._build_step)
+                c_ = local.collider
+                enc = c_.radius
+                if ev_scope_hooked:
+                    enc = jnp.where(hooked_mask(hooked_types), enc, -enc - 1.0)
+                extras.append(jnp.where(c_.active, enc, jnp.float32(-3.0e38)))
+            elif p == "__shadow__":
+                sh_, sp_l = local.shadow, local.sprite
+                ok_c = sh_.active & sp_l.is_on_screen
+                extras.append(
+                    jnp.where(ok_c, sh_.shadow_radius, jnp.float32(-1.0))
+                )
+            else:
+                extras.append(jnp.asarray(read_field(local, p), f32))
         rows_vals = jnp.stack(
             [gid.astype(f32), lt.x, lt.y] + extras, axis=1
         )
@@ -286,7 +363,44 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
             local, nbr, inputs, cfg, type_specs, payload_channels,
             gather_fn=gather_fn,
         )
-        return local, bins.n_binned, violators, (emissions, gid)
+
+        # collision-pair recording on the chunk's in-band residents (the
+        # per-slab pass of make_halo_step phase_a, gids already global).
+        # Violators have all-(-1) neighbor lists and no table row, so their
+        # pairs drop until they migrate home (degradation documented above).
+        ev = None
+        if ev_on:
+            from ..ops.physics import compact_pairs
+
+            lt2, lc2 = local.transform, local.collider
+            ch = flat[..., payload_channels["__collision__"]]
+            coll_j = ch > jnp.float32(-1.0e30)
+            self_ok = lt2.active & lc2.active & res_fin & (gid >= 0)
+            if ev_scope_hooked:
+                hooked_j = ch >= 0
+                r_j = jnp.where(hooked_j, ch, -ch - 1.0)
+                okp = (
+                    (self_ok & hooked_mask(hooked_types))[:, None]
+                    & (ids >= 0) & coll_j
+                )
+                once = jnp.where(hooked_j, ids > gid[:, None], True)
+            else:
+                r_j = ch
+                okp = self_ok[:, None] & (ids >= 0) & coll_j
+                once = ids > gid[:, None]
+            min_d = lc2.radius[:, None] + r_j
+            rec = okp & (d2_out < min_d * min_d) & once
+            ev = compact_pairs(ids, rec, p_loc, row_ids=gid)
+
+        sh_out = None
+        if shadows_on:
+            from .halo import _slab_shadow_sprites
+
+            sh_out = _slab_shadow_sprites(
+                local, nbr, flat, gid, valid_ent, payload_channels,
+                cfg, axis,
+            )
+        return local, bins.n_binned, violators, (emissions, gid), ev, sh_out
 
     def phase_a_local(local: World, gid, inputs, d):
         m = local.transform.x.shape[0]
@@ -320,7 +434,7 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
             lt.active & (gid >= 0)
             & jnp.isfinite(lt.y) & ~in_band, dtype=jnp.int32
         )
-        return local, jnp.int32(-1), violators, (emissions, gid)
+        return local, jnp.int32(-1), violators, (emissions, gid), None, None
 
     # ------------------------------------------------------------------
     # phase B: solver — routed 8-channel rows, GID-SORTED on arrival so
@@ -578,17 +692,6 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
             ),
         )
 
-        if need_neighbors:
-            chunk, n_binned, violators, em = phase_a(chunk, gid, inputs, d)
-            n_binned = jax.lax.psum(n_binned, axis)
-        else:
-            chunk, n_binned, violators, em = phase_a_local(chunk, gid, inputs, d)
-
-        chunk = advance_animation(chunk, frame_counts, cfg.dt_ratio)
-        chunk = verlet_move(chunk, cfg, cfg.dt_ratio)
-        chunk, solver_binned, ovf_b = phase_b(chunk, gid, d)
-        chunk = update_derived(chunk, cfg)
-
         def rep_mark(v):
             # identity pmax proving a device-identical value replicated to
             # shard_map's vma checker (no-op collective semantics; skipped
@@ -599,15 +702,86 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
                 return jax.lax.pmax(v.astype(jnp.int32), axis).astype(v.dtype)
             return jax.lax.pmax(v, axis)
 
+        if need_neighbors:
+            chunk, n_binned, violators, em, ev, sh_out = phase_a(
+                chunk, gid, inputs, d
+            )
+            n_binned = jax.lax.psum(n_binned, axis)
+        else:
+            chunk, n_binned, violators, em, ev, sh_out = phase_a_local(
+                chunk, gid, inputs, d
+            )
+
+        # merge per-chunk pair tables into the replicated global table and
+        # diff on every device — the identical block as make_halo_step
+        # (itself the single-chip events block over all_gathered inputs)
+        pairs_dropped = jnp.int32(0)
+        pair_count = jnp.int32(0)
+        if ev_on:
+            pairs_loc, count_loc, dropped_loc = ev
+            allp = jax.lax.all_gather(pairs_loc, axis).reshape(-1, 2)
+            allc = jax.lax.all_gather(count_loc, axis)  # [D]
+            ar = jnp.arange(p_loc, dtype=jnp.int32)
+            validp = (ar[None, :] < allc[:, None]).reshape(-1)
+            rank = jnp.cumsum(validp.astype(jnp.int32)) - 1
+            destp = jnp.where(validp & (rank < max_pairs), rank, max_pairs)
+            pairs = jnp.full((max_pairs, 2), -1, jnp.int32)
+            pairs = pairs.at[destp, 0].set(allp[:, 0], mode="drop")
+            pairs = pairs.at[destp, 1].set(allp[:, 1], mode="drop")
+            total_p = jnp.sum(validp, dtype=jnp.int32)
+            pair_count = jnp.minimum(total_p, max_pairs)
+            pairs_dropped = jax.lax.psum(dropped_loc, axis) + (total_p - pair_count)
+            chunk = chunk.replace(
+                collision_pairs=pairs, collision_pair_count=pair_count
+            )
+            from ..ops.events import diff_pairs
+
+            enter, n_e, stay, n_s, exit_, n_x = diff_pairs(
+                chunk.collision_pairs, chunk.collision_pair_count,
+                chunk.prev_collision_pairs, chunk.prev_collision_pair_count,
+            )
+            new_prev = jax.lax.optimization_barrier(
+                (chunk.collision_pairs, chunk.collision_pair_count)
+            )
+            pair_count = rep_mark(pair_count)
+            pairs_dropped = rep_mark(pairs_dropped)
+            chunk = chunk.replace(
+                collision_pairs=rep_mark(chunk.collision_pairs),
+                collision_pair_count=pair_count,
+                prev_collision_pairs=rep_mark(new_prev[0]),
+                prev_collision_pair_count=rep_mark(new_prev[1]),
+                event_enter=rep_mark(enter), event_enter_count=rep_mark(n_e),
+                event_stay=rep_mark(stay), event_stay_count=rep_mark(n_s),
+                event_exit=rep_mark(exit_), event_exit_count=rep_mark(n_x),
+            )
+
+        chunk = advance_animation(chunk, frame_counts, cfg.dt_ratio)
+        chunk = verlet_move(chunk, cfg, cfg.dt_ratio)
+        chunk, solver_binned, ovf_b = phase_b(chunk, gid, d)
+        chunk = update_derived(chunk, cfg)
+
         p_active = jnp.int32(-1)
         if has_particles:
             from ..ops.culling import update_particle_visibility
             from ..ops.particles import apply_emission, update_particles
 
-            pool, _stamps, p_active = update_particles(
-                chunk.particles, cfg, cfg.dt_ratio, False
+            pool, stamps, p_active = update_particles(
+                chunk.particles, cfg, cfg.dt_ratio, decals_on
             )
             chunk = chunk.replace(particles=pool)
+            if decals_on:
+                from ..ops.decals import stamp_decals
+
+                # stamps derive from the REPLICATED pool: every device blits
+                # the identical batch into its replicated canvas (halo.py)
+                canvas, dirty = stamp_decals(
+                    chunk.decal_canvas, chunk.decal_dirty, stamps,
+                    decal_textures, cfg,
+                )
+                chunk = chunk.replace(
+                    decal_canvas=rep_mark(canvas),
+                    decal_dirty=rep_mark(dirty),
+                )
             requests, gids_em = em
             batch, total_e = _merge_emissions(
                 requests, jnp.maximum(gids_em, 0), emit_budget, axis
@@ -621,6 +795,24 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         p_active = rep_mark(p_active)
 
         chunk = update_entity_visibility(chunk, cfg, inputs)
+
+        # shadow sprites: psum the disjoint per-chunk [L·M] contributions
+        if shadows_on and sh_out is not None:
+            from ..components import ShadowSprites
+
+            summed = {
+                k: jax.lax.psum(v.astype(jnp.float32), axis)
+                for k, v in sh_out.items()
+            }
+            chunk = chunk.replace(
+                shadow_sprites=ShadowSprites(
+                    active=summed["active"] > 0,
+                    x=summed["x"], y=summed["y"],
+                    rotation=summed["rotation"],
+                    scale_x=summed["scale_x"], scale_y=summed["scale_y"],
+                    alpha=summed["alpha"], radius=summed["radius"],
+                )
+            )
 
         # movers-only migration on FINAL positions: next frame's phase A
         # sees every non-violator resident in-band
@@ -636,6 +828,8 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
             "active_count": jax.lax.psum(
                 jnp.sum(t.active & occ, dtype=jnp.int32), axis
             ),
+            "collision_pair_count": pair_count,
+            "collision_pairs_dropped": pairs_dropped,
             "n_binned": n_binned,
             "active_particles": p_active,
             "nonfinite_count": jax.lax.psum(
@@ -667,7 +861,8 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         jax.tree.map(lambda _: P(), engine.input.snapshot()),
     )
     met_keys = (
-        "active_count", "n_binned", "active_particles", "nonfinite_count",
+        "active_count", "collision_pair_count", "collision_pairs_dropped",
+        "n_binned", "active_particles", "nonfinite_count",
         "solver_binned", "route_overflow_solver", "migrated_rows",
         "home_violators",
     )
@@ -718,15 +913,7 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
             gid_chunks[dev, : idx.size] = idx
             row_chunks[dev, : idx.size] = rows_np[idx]
         flat_rows = jnp.asarray(row_chunks.reshape(n_dev * n_cap, n_lanes))
-        base = jax.tree.map(
-            lambda leaf: (
-                jnp.zeros((n_dev * n_cap,) + leaf.shape[1:], leaf.dtype)
-                if (hasattr(leaf, "ndim") and leaf.ndim >= 1
-                    and leaf.shape[0] == n)
-                else leaf
-            ),
-            world,
-        )
+        base = _resize_entity_leaves(world, n_dev * n_cap)
         chunked = unpack_world_rows(flat_rows, base, specs)
         placed = jax.tree.map(
             lambda leaf, s: jax.device_put(leaf, s), chunked, w_shardings
@@ -744,15 +931,7 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         out_rows = np.zeros((n, n_lanes), np.int32)
         occ = g >= 0
         out_rows[g[occ]] = rows_np[occ]
-        base = jax.tree.map(
-            lambda leaf: (
-                jnp.zeros((n,) + leaf.shape[1:], leaf.dtype)
-                if (hasattr(leaf, "ndim") and leaf.ndim >= 1
-                    and leaf.shape[0] == n_dev * n_cap)
-                else leaf
-            ),
-            w,
-        )
+        base = _resize_entity_leaves(w, n)
         return unpack_world_rows(jnp.asarray(out_rows), base, specs)
 
     return step_fn, place_fn, unplace_fn

@@ -129,9 +129,10 @@ class TestBallsParity:
 
 
 class TestValidation:
-    def test_event_scene_raises(self):
-        import pytest
-
+    def test_event_scene_builds(self):
+        """v2 (round 5): collision-event scenes build under homed — the
+        per-slab pair recording + replicated diff (see test_homed_mixed.py
+        for bit-exact parity)."""
         eng = _boids_engine()
         import dataclasses
 
@@ -139,7 +140,20 @@ class TestValidation:
             eng.config,
             logic=dataclasses.replace(eng.config.logic, collision_events=True),
         )
-        with pytest.raises(ValueError, match="collision events"):
+        step, place, unplace = make_homed_step(
+            eng, make_mesh(D, axis_name="slab"))
+        assert callable(step)
+
+    def test_non_grid_spatial_raises(self):
+        import pytest
+        import dataclasses
+
+        eng = _boids_engine()
+        eng.config = dataclasses.replace(
+            eng.config,
+            spatial=dataclasses.replace(eng.config.spatial, method="none"),
+        )
+        with pytest.raises(ValueError, match="grid"):
             make_homed_step(eng, make_mesh(D, axis_name="slab"))
 
 
