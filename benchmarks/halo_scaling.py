@@ -168,7 +168,7 @@ def run_one(n: int, n_dev: int, scene: str = "balls",
         # each (shorter) slab — at D=8 the seam occupants alone can exceed
         # 0.25·n_cap (route_overflow_solver in the r04 artifact's first
         # run). Capacity is a geometry knob, like route oversub.
-        step, place, _un = make_homed_step(
+        step, place, _un, _ctl = make_homed_step(
             eng, mesh, headroom=1.25,
             adjacent_frac=0.25 if n_dev <= 4 else 0.45,
             check_vma=False,

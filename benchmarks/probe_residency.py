@@ -39,10 +39,15 @@ print("PROBE_JSON " + json.dumps(dict(res={res!r}, interval={interval},
             "error": (p.stderr or p.stdout).strip().splitlines()[-3:]}
 
 if __name__ == "__main__":
+    # optional argv: entity count (default 1M — the round-4 artifact; pass
+    # 100000 to answer the r4 ladder's mid-scale regression question)
+    n = int(_sys.argv[1]) if len(_sys.argv) > 1 else 1_000_000
     out = []
-    for res, interval in [("auto", 1000), ("auto", 8), ("off", 1000), ("off", 8)]:
-        r = run(res, interval)
+    for res, interval in [("auto", 1000), ("auto", 8), ("auto", 1),
+                          ("off", 1000), ("off", 1)]:
+        r = run(res, interval, n=n)
         print(json.dumps(r), flush=True)
         out.append(r)
-    with open("PROBE_RESIDENCY.json", "w") as f:
+    suffix = "" if n == 1_000_000 else f"_{n}"
+    with open(f"PROBE_RESIDENCY{suffix}.json", "w") as f:
         json.dump(out, f, indent=1)

@@ -54,9 +54,15 @@ def rung_balls(n_balls: int, chunk: int = 20) -> dict:
 
     scale = (n_balls / 10_000) ** 0.5
     over = {}
-    # (rebin_interval at 100k measured a wash: 128.0 vs 133.0 steps/s —
-    # that rung is dispatch/elementwise-bound, its binning argsort is cheap)
-    if n_balls >= 1_000_000:
+    # The scene-tuned solver knobs apply from 100k up (round 5): the r3
+    # "rebin at 100k is a wash" finding predates position residency — with
+    # residency the rebuild is the dominant 100k cost, and the r5 probe
+    # matrix (PROBE_RESIDENCY_100000.json) reads 224.5 steps/s at
+    # interval 8 + residency vs 126.5 at interval 1 (residency itself is a
+    # wash at interval 1: 126.5 vs 128.4 off). Occupancy-derived
+    # solver_capacity is density-scale-invariant (world scales with
+    # sqrt(N)), so the 1M histogram argument holds at 100k too.
+    if n_balls >= 100_000:
         # scene-tuned solver knobs, as the reference demos hand-tune cellSize/
         # maxNeighbors per scene (demos/balls/index.html:100-140):
         #  - solver_capacity 12: the measured settled-pile occupancy histogram
@@ -241,6 +247,87 @@ def rung_predators(
     }
 
 
+def rung_mixed(
+    n_prey: int = 1_000_000, frames: int = 30, event_chunk: int = 30,
+    cell_size: float = 160.0, cell_capacity: int = 64,
+) -> dict:
+    """1M-entity MIXED rung (VERDICT r4 next #6): AI ticks + animation +
+    collision events + particles + decals + lighting + shadows — the
+    predators operating point (demos/predators/index.html:304-380) scaled
+    ~8.2x per axis at CONSTANT DENSITY so per-entity neighbor counts match
+    the 15k demo. One deliberate knob change: max_neighbors 1500 -> 64.
+    At 1M rows the demo's 1500-lane neighbor list alone is 12 GB (ids+d2);
+    the truncation semantics stay the reference's scan-order first-K
+    (spatial_worker.js), only the cap differs — at demo density the
+    128-px-cell 3x3 scan holds ~25 entities/cell avg, so 64 lanes truncate
+    rarely."""
+    import numpy as np
+
+    from multithreadedgameengine_tpu.models.predators import (
+        make_predators_engine,
+    )
+
+    scale = (n_prey / 15_000) ** 0.5
+    eng = make_predators_engine(
+        n_prey=n_prey, n_predators=max(8, n_prey // 2000), n_lights=5,
+        spawn=False,
+        world_width=5000.0 * scale, world_height=2000.0 * scale,
+        # per_class_assembly: each class's candidate scan sized by ITS OWN
+        # max visual range — without it every row pays the predators'
+        # radius-2 scan (25 cells) and the [N, S, F] candidate payload is
+        # 2.8x larger; at this scale that is the difference between
+        # fitting HBM and not
+        spatial=dict(cell_size=cell_size, max_neighbors=64,
+                     cell_capacity=cell_capacity, per_class_assembly=True),
+        logic=dict(collision_events=True, event_chunk=event_chunk,
+                   event_overlap=True),
+        physics=dict(
+            sub_step_count=1, gravity=(0.0, 0.0), verlet_damping=0.99,
+            collision_response_strength=0.9, boundary_elasticity=0.0,
+            max_collision_pairs=1 << 18,
+        ),
+    )
+    cfg = eng.config
+    rng = np.random.default_rng(123456)
+    n_pred = max(8, n_prey // 2000)
+    eng.spawn_batch(
+        "Prey", n_prey,
+        x=(rng.random(n_prey) * cfg.world_width).astype(np.float32),
+        y=(rng.random(n_prey) * cfg.world_height).astype(np.float32),
+        call_on_spawned=False,
+    )
+    eng.spawn_batch(
+        "Predator", n_pred,
+        x=(rng.random(n_pred) * cfg.world_width).astype(np.float32),
+        y=(rng.random(n_pred) * cfg.world_height).astype(np.float32),
+        call_on_spawned=False,
+    )
+    for _ in range(5):
+        eng.spawn("TallLight", x=eng.rng() * cfg.world_width,
+                  y=eng.rng() * cfg.world_height)
+    eng._flush_pending()
+    t0 = time.time()
+    eng.step(5, block=True)
+    warm = time.time() - t0
+    eng.step(event_chunk)
+    eng.sync()
+    t0 = time.time()
+    for _ in range(3):
+        eng.step(frames)
+    eng.sync()
+    per = (time.time() - t0) / (3 * frames)
+    act = np.asarray(eng.snapshot().transform.active)
+    return {
+        "metric": f"mixed_{n_prey}_steps_per_sec",
+        "value": round(1.0 / per, 2),
+        "unit": "steps/s",
+        "ms_per_step": round(per * 1000, 2),
+        "warmup_s": round(warm, 1),
+        "active": int(act.sum()),
+        "vs_baseline": round((1.0 / per) / 60.0, 3),
+    }
+
+
 RUNGS = {
     "balls_10000": (rung_balls, (10_000,), {}),
     "balls_100000": (rung_balls, (100_000,), {}),
@@ -251,6 +338,7 @@ RUNGS = {
     "boids_15000": (rung_boids, (), {}),
     "predators_events": (rung_predators, (), {"events": True}),
     "predators_noevents": (rung_predators, (), {"events": False}),
+    "mixed_1m": (rung_mixed, (), {}),
 }
 
 
@@ -276,7 +364,7 @@ def main() -> None:
         try:
             proc = subprocess.run(
                 [sys.executable, "-u", __file__, "--rung", name],
-                capture_output=True, text=True, timeout=3000,
+                capture_output=True, text=True, timeout=4500,
             )
             line = next(
                 (ln for ln in proc.stdout.splitlines()

@@ -55,10 +55,12 @@ recorded pairs / no shadow contribution until they migrate home (0 frames
 in healthy runs — `home_violators`).
 
 Host control plane: chunks are placed once (`place_fn`); host-side spawns /
-despawns between steps require re-placement (`place_fn(unplace_fn(...))`) —
-the benchmark scenes mutate through device-side despawns and FramePlans,
-and the reference's own spawn fan-out is a control-plane event
-(gameEngine.js:1651-1670).
+despawns DURING the run insert into / clear from the owning band's chunk
+via the returned control object (round 5 — no re-placement; the same
+gid-sorted merge the migration path uses), matching the reference's spawn
+fan-out as a live control-plane event (gameEngine.js:1651-1670). Full
+re-placement remains the fallback when an insert is denied (band chunk
+full).
 """
 
 from __future__ import annotations
@@ -122,7 +124,7 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
                     check_vma: bool = None):
     """Build the position-homed sharded step for an initialized engine.
 
-    Returns (step_fn, place_fn, unplace_fn):
+    Returns (step_fn, place_fn, unplace_fn, ctl):
       - ``place_fn(world) -> (world_chunks, gid)`` assigns every entity to
         the device owning its CURRENT position's slab and lays chunks out
         over the mesh (gid-sorted, [D*n_cap] leading axis);
@@ -130,7 +132,10 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         metrics)`` — jitted, donated;
       - ``unplace_fn(world_chunks, gid) -> world`` reassembles the
         entity-ordered single-device world (host-side numpy; snapshots /
-        parity tests).
+        parity tests);
+      - ``ctl`` — live host spawn/despawn without re-placement:
+        ``ctl.pack_rows(world, gids)``, ``ctl.insert(chunks, gid, rows,
+        gids)``, ``ctl.remove(chunks, gid, gids)``.
 
     ``headroom``: chunk slots per device = ceil(N/D * headroom) — the load
     imbalance the layout absorbs before movers start bouncing (violators).
@@ -913,7 +918,11 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
             gid_chunks[dev, : idx.size] = idx
             row_chunks[dev, : idx.size] = rows_np[idx]
         flat_rows = jnp.asarray(row_chunks.reshape(n_dev * n_cap, n_lanes))
-        base = _resize_entity_leaves(world, n_dev * n_cap)
+        # build from the HOST copy `w`, never from `world`'s device arrays:
+        # device_put of an already-placed leaf aliases its buffer, and the
+        # step's donation would delete the caller's world out from under it
+        # (live-control-plane flows re-read eng.world after placing)
+        base = _resize_entity_leaves(w, n_dev * n_cap)
         chunked = unpack_world_rows(flat_rows, base, specs)
         placed = jax.tree.map(
             lambda leaf, s: jax.device_put(leaf, s), chunked, w_shardings
@@ -934,4 +943,109 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         base = _resize_entity_leaves(w, n)
         return unpack_world_rows(jnp.asarray(out_rows), base, specs)
 
-    return step_fn, place_fn, unplace_fn
+    # ------------------------------------------------------------------
+    # live host control plane (round 5): spawn / despawn DURING a homed
+    # run without re-placing the whole world. The reference's spawn is a
+    # control-plane fan-out into the running loop (gameEngine.js:1651-1670);
+    # here a spawned row inserts into the chunk of the band owning its
+    # position via the same gid-sorted merge migration uses, and a host
+    # despawn clears its row in place (the freed slot compacts at the next
+    # migration sort). Bit-exact vs full re-placement when no insert is
+    # denied: both produce the same gid-sorted occupied set per band.
+    # ------------------------------------------------------------------
+    y_lane = next(
+        i for i, (c, f, _) in enumerate(specs)
+        if c == "transform" and f == "y"
+    )
+
+    def _insert_local(chunk: World, gid, new_rows, new_gids):
+        d = jax.lax.axis_index(axis).astype(jnp.int32)
+        y = jax.lax.bitcast_convert_type(
+            new_rows[:, y_lane], jnp.float32
+        )
+        valid_new = new_gids >= 0
+        dest = jnp.where(
+            valid_new & jnp.isfinite(y), band_of_y(y), jnp.int32(-1)
+        )
+        mine = dest == d
+        # capacity grant: occupied + granted prefix <= n_cap (deterministic
+        # per destination — same guard class as migration's)
+        occ = jnp.sum(gid >= 0, dtype=jnp.int32)
+        rank = jnp.cumsum(mine.astype(jnp.int32)) - 1
+        ok = mine & (rank < jnp.maximum(n_cap - occ, 0))
+        denied = jax.lax.psum(jnp.sum(mine & ~ok, dtype=jnp.int32), axis)
+        my_rows = pack_world_rows(chunk, specs)
+        ins_gid = jnp.where(ok, new_gids, -1)
+        all_rows = jnp.concatenate([my_rows, new_rows], axis=0)
+        all_gid = jnp.concatenate([gid, ins_gid], axis=0)
+        key = jnp.where(all_gid >= 0, all_gid, _I32_MAX)
+        order = jnp.argsort(key)[:n_cap]
+        rows2 = all_rows[order]
+        gid2 = jnp.where(key[order] < _I32_MAX, all_gid[order], -1)
+        rows2 = jnp.where(gid2[:, None] >= 0, rows2, 0)
+        return unpack_world_rows(rows2, chunk, specs), gid2, denied
+
+    def _remove_local(chunk: World, gid, victim_gids):
+        hit = (
+            (gid[:, None] == victim_gids[None, :])
+            & (victim_gids >= 0)[None, :]
+        ).any(axis=1)
+        gid2 = jnp.where(hit, -1, gid)
+        rows = pack_world_rows(chunk, specs)
+        rows = jnp.where(hit[:, None], 0, rows)
+        removed = jax.lax.psum(jnp.sum(hit, dtype=jnp.int32), axis)
+        return unpack_world_rows(rows, chunk, specs), gid2, removed
+
+    rep_p = P()
+    _insert_jit = jax.jit(
+        jax.shard_map(
+            _insert_local, mesh=mesh,
+            in_specs=(w_specs, P(axis), rep_p, rep_p),
+            out_specs=(w_specs, P(axis), rep_p),
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1),
+    )
+    _remove_jit = jax.jit(
+        jax.shard_map(
+            _remove_local, mesh=mesh,
+            in_specs=(w_specs, P(axis), rep_p),
+            out_specs=(w_specs, P(axis), rep_p),
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1),
+    )
+
+    class _HomedControl:
+        """Host control plane for a placed homed world (see module docs)."""
+
+        @staticmethod
+        def pack_rows(world: World, gids) -> jnp.ndarray:
+            """[K, n_lanes] packed rows for ``gids`` from an entity-ordered
+            world (e.g. the engine's scratch world after spawn_batch)."""
+            rows = np.asarray(jax.device_get(pack_world_rows(world, specs)))
+            return jnp.asarray(rows[np.asarray(gids)])
+
+        @staticmethod
+        def insert(world_chunks, gid, new_rows, new_gids):
+            """Insert spawned rows into their bands' chunks.
+
+            Returns (world_chunks, gid, denied). ``denied`` > 0 means some
+            destination chunk was full — the caller should fall back to a
+            full re-placement (``place_fn(unplace_fn(...))``), the same
+            condition under which place_fn itself raises."""
+            return _insert_jit(
+                world_chunks, gid,
+                jnp.asarray(new_rows, jnp.int32),
+                jnp.asarray(new_gids, jnp.int32),
+            )
+
+        @staticmethod
+        def remove(world_chunks, gid, victim_gids):
+            """Host despawn: clear the rows of ``victim_gids`` wherever they
+            live. Returns (world_chunks, gid, removed_count)."""
+            return _remove_jit(
+                world_chunks, gid, jnp.asarray(victim_gids, jnp.int32)
+            )
+
+    return step_fn, place_fn, unplace_fn, _HomedControl

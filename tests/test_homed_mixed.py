@@ -34,7 +34,7 @@ def _run_single(eng, steps):
 
 def _run_homed(eng, steps, headroom=8.0, adjacent_frac=1.0):
     mesh = make_mesh(D, axis_name="slab")
-    step, place, unplace = make_homed_step(
+    step, place, unplace, _ctl = make_homed_step(
         eng, mesh, headroom=headroom, adjacent_frac=adjacent_frac)
     world, gid = place(eng.world)
     ins = eng.input.snapshot()
@@ -79,7 +79,7 @@ class TestHomedEvents:
         eng1 = self._engine()
         eng2 = self._engine()
         mesh = make_mesh(D, axis_name="slab")
-        step, place, unplace = make_homed_step(eng2, mesh)
+        step, place, unplace, _ctl = make_homed_step(eng2, mesh)
         world, gid = place(eng2.world)
         ins = eng2.input.snapshot()
         saw_events = False
