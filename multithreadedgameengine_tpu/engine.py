@@ -1911,14 +1911,14 @@ class Engine:
 
         self._one_step_raw = one_step
         self._one_step_impl = one_step_impl
-        # FramePlan chunks always run the non-resident variant (see the
-        # ``residency`` note in one_step_impl)
-        import functools
-
-        self._one_step_impl_plan = (
-            functools.partial(one_step_impl, residency=False)
-            if use_residency else one_step_impl
-        )
+        # FramePlan chunks run the RESIDENT variant too (round 5): the plan
+        # body invalidates the bin cache on op frames (same as
+        # _apply_columns), routing them through REBUILD — which re-bins from
+        # the entity-order post-move state the every-frame readback keeps
+        # current — while op-FREE plan frames ride the FAST layout branch.
+        # Churn plans (ops every frame) pay rebuild ≈ the old non-resident
+        # frame; sparse plans keep the full residency win.
+        self._one_step_impl_plan = one_step_impl
         self._step_fn = jax.jit(one_step_impl, donate_argnums=0)
         self._step_n_fn = jax.jit(n_steps, donate_argnums=0)
         self._event_chunk_fns = {}

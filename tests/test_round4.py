@@ -78,7 +78,11 @@ class TestPositionResidency:
         a.step(7); b.step(7)
         _assert_worlds_equal(a, b, "mutation")
 
-    def test_frameplan_uses_nonresident_variant(self):
+    def test_frameplan_resident_parity(self):
+        """Round 5: plan chunks trace the RESIDENT variant (op frames
+        rebuild via the in-plan bin-cache invalidation; op-free frames ride
+        the FAST layout branch) — whole-trajectory equality vs
+        position_residency='off' through a churning plan."""
         a, b = _res_engine("on", 200, 9), _res_engine("off", 200, 9)
         a.step(3); b.step(3)
         for e, r in ((a, np.random.default_rng(42)), (b, np.random.default_rng(42))):
@@ -95,6 +99,29 @@ class TestPositionResidency:
             e.run_plan(plan, max_chunk=4)
         a.step(6); b.step(6)
         _assert_worlds_equal(a, b, "plan")
+
+    def test_frameplan_resident_sparse_ops_parity(self):
+        """Sparse plans (most frames op-free) are where resident plans pay
+        off — those frames take the FAST branch. Equality vs 'off' must
+        hold across the op/FAST interleaving, including the frames right
+        after each invalidation."""
+        a, b = _res_engine("on", 200, 9), _res_engine("off", 200, 9)
+        a.step(3); b.step(3)
+        for e, r in ((a, np.random.default_rng(4)), (b, np.random.default_rng(4))):
+            plan = e.begin_plan()
+            for f in range(12):
+                if f in (0, 5):  # two op frames, ten FAST-eligible frames
+                    act = e.active_indices("Ball")
+                    plan.despawn_batch(r.choice(act, size=8, replace=False))
+                    plan.spawn_batch(
+                        "Ball", 8,
+                        x=r.uniform(100, 8000, 8).astype(np.float32),
+                        y=r.uniform(100, 900, 8).astype(np.float32),
+                    )
+                plan.next_frame()
+            e.run_plan(plan, max_chunk=6)
+        a.step(6); b.step(6)
+        _assert_worlds_equal(a, b, "sparse plan")
 
     def test_checkpoint_roundtrip(self, tmp_path):
         from multithreadedgameengine_tpu.checkpoint import (
