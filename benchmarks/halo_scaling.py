@@ -162,15 +162,15 @@ def run_one(n: int, n_dev: int, scene: str = "balls",
         # COMPUTE shapes, not interconnect — the homed step's defining win,
         # routing ~0.1% of rows instead of everyone, shows in
         # migrated_rows_per_step and the analytic comms volume)
-        # adjacent_frac grows with D: the phase-B solver bands quantize to
-        # whole solver-grid rows, so the spatial-band/solver-band seam
-        # misalignment (≤1 solver row per seam) covers a larger fraction of
-        # each (shorter) slab — at D=8 the seam occupants alone can exceed
-        # 0.25·n_cap (route_overflow_solver in the r04 artifact's first
-        # run). Capacity is a geometry knob, like route oversub.
+        # adjacent_frac None = seam-geometry auto (round 5): solver bands
+        # align to the spatial seams, so the adjacent-exchange block sizes
+        # from cell_s/2 rounding residue + the scene's actual max_vel — no
+        # hand-tuning per D (the r04 artifact needed 0.25→0.45 at D=8).
+        # headroom 1.125: uniform-density load imbalance is ~1% (3σ at
+        # 12.8k rows/slab); denied movers retry as violators, so tighter
+        # headroom risks only transient degradation, never loss.
         step, place, _un, _ctl = make_homed_step(
-            eng, mesh, headroom=1.25,
-            adjacent_frac=0.25 if n_dev <= 4 else 0.45,
+            eng, mesh, headroom=1.125,
             check_vma=False,
         )
         world, gid = place(eng.world)

@@ -120,7 +120,7 @@ _I32_MAX = np.int32(2**31 - 1)
 
 
 def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
-                    mig_oversub: float = 1.0, adjacent_frac: float = 0.5,
+                    mig_oversub: float = 1.0, adjacent_frac: float = None,
                     check_vma: bool = None):
     """Build the position-homed sharded step for an initialized engine.
 
@@ -146,8 +146,11 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
     ``adjacent_frac``: phase B's per-direction adjacent-exchange block =
     ceil(n_cap * adjacent_frac) rows — the fraction of a chunk that may
     need the NEIGHBOR slab's solver band in one frame (band-boundary
-    straddle + one frame's movement). 1.0 guarantees capacity for any
-    clustering; uniform scenes run ~0.25.
+    straddle + one frame's movement). Default ``None`` derives it from the
+    seam geometry: solver bands align to the spatial seams (round 5), so
+    the strip that can route is cell_s/2 rounding residue + one frame's
+    max_vel, sized at 2x uniform density. 1.0 guarantees capacity for any
+    clustering.
     """
     engine._require_init()
     axis = mesh.axis_names[0]
@@ -233,17 +236,58 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         capacity=sp.cell_capacity,
     )
     R_s, C_s, cap_s = solver_geom.rows, solver_geom.cols, solver_geom.capacity
-    rps = math.ceil(R_s / n_dev)
+    # --- phase-B solver-band ownership ALIGNED to the spatial seams (r5) ---
+    # With independent quantization (dest = grow // ceil(R_s/D)) the solver
+    # seam drifts from the spatial seam by up to D*(rpd*cell_sp - rps*cell_s)
+    # px — at the 102k-boids artifact geometry nearly half of slab 6's
+    # residents landed in slab 7's solver band, which is why adjacent_frac
+    # needed hand-tuning to 0.45 at 8 slabs (HALO_SCALING_BOIDS_r04 header).
+    # Placing each band boundary on the solver row NEAREST its spatial seam
+    # bounds the routed strip by cell_s/2 + one frame's movement, independent
+    # of D. Bands then differ in length by ±1 row: local grids pad to the
+    # longest and the last-row halo index becomes per-device (dynamic).
+    seam_rows = [0]
+    for dd in range(1, n_dev):
+        raw = int(round(dd * rpd * sp.cell_size / solver_geom.cell_size))
+        seam_rows.append(min(max(raw, seam_rows[-1] + 1), R_s - (n_dev - dd)))
+    seam_rows.append(R_s)
+    if any(b <= a for a, b in zip(seam_rows, seam_rows[1:])):
+        raise ValueError(
+            f"solver grid has too few rows ({R_s}) for {n_dev} slabs"
+        )
+    band_len = [b - a for a, b in zip(seam_rows, seam_rows[1:])]
+    rps = max(band_len)
     geom_s_loc = GridGeom(
         cell_size=solver_geom.cell_size, rows=rps, cols=C_s, capacity=cap_s
     )
+    _sr_lo = jnp.asarray(seam_rows[:n_dev], jnp.int32)  # [D] band start row
+    _s_len = jnp.asarray(band_len, jnp.int32)  # [D] band interior rows
+    _s_bounds = jnp.asarray(seam_rows[1:n_dev], jnp.int32)  # [D-1] boundaries
 
     n_cap = int(((math.ceil(n / n_dev * headroom)) + 7) // 8 * 8)
     m_mig = route_capacity(n_cap, n_dev, mig_oversub)
     # phase B adjacent-exchange block (see phase_b): one fixed [cap_pb, 8]
     # buffer per direction — NO D-scaling (ppermute, not all_to_all)
-    cap_pb = int(min(max((math.ceil(n_cap * adjacent_frac) + 7) // 8 * 8, 8),
-                     n_cap))
+    if adjacent_frac is None:
+        # seam-geometry auto capacity (round 5): a row lands in the adjacent
+        # band only from the strip of seam-rounding residue (cell_s/2) plus
+        # one frame's Verlet movement (per-axis max_vel clamp — taken from
+        # the spawned world's actual per-entity values, not the engine
+        # default) on each side of the seam; size for 2x uniform density.
+        # Faster later host-spawned entities can exceed the strip: their
+        # rows degrade to boundary-only for the frame (`route_overflow`
+        # metrics) and migrate home normally.
+        _vel = np.asarray(world0.rigid_body.max_vel, np.float32)
+        _act = np.asarray(world0.transform.active, bool)
+        vel_bound = float(_vel[_act].max()) if _act.any() else float(_vel.max())
+        vel_bound = max(vel_bound, 1.0)
+        strip = 0.5 * solver_geom.cell_size + vel_bound
+        frac = min(2.0 * strip / (rpd * sp.cell_size), 1.0)
+        cap_pb = int(min(max((math.ceil(n_cap * frac) + 7) // 8 * 8, 64),
+                         n_cap))
+    else:
+        cap_pb = int(min(max((math.ceil(n_cap * adjacent_frac) + 7) // 8 * 8,
+                             8), n_cap))
     down_perm, up_perm = _edge_perms(n_dev)
     inv_sp = 1.0 / sp.cell_size
     inv_s = 1.0 / solver_geom.cell_size
@@ -457,8 +501,9 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         (counted) and migrate properly at frame end.
 
         The combined row set (locals in chunk order + up/down arrivals)
-        gid-sorts before binning, so within-cell slot order — and every fp
-        accumulation — matches the single-device step exactly."""
+        enters binning in global gid order — via a sorted MERGE, since the
+        chunk itself is gid-sorted — so within-cell slot order, and every
+        fp accumulation, matches the single-device step exactly."""
         from ..ops.physics_grid import pack_solver_rows
 
         t, rb, c = local.transform, local.rigid_body, local.collider
@@ -467,7 +512,10 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         packed = pack_solver_rows(local, gid=jnp.maximum(gid, 0))
         packed = packed.at[:, 7].set(valid.astype(f32))  # occupancy lane
         grow = jnp.clip((t.y * inv_s).astype(jnp.int32), 0, R_s - 1)
-        dest = jnp.minimum(grow // rps, n_dev - 1)
+        # owner of a solver row, from the seam-aligned band table
+        dest = jnp.sum(
+            grow[:, None] >= _s_bounds[None, :], axis=1, dtype=jnp.int32
+        )
 
         is_loc = valid & (dest == d)
         to_up = valid & (dest == d - 1)
@@ -490,27 +538,49 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         from_above = jax.lax.ppermute(buf_up, axis, up_perm)
         from_below = jax.lax.ppermute(buf_dn, axis, down_perm)
 
-        loc_rows = jnp.where(is_loc[:, None], packed, 0.0)
-        comb = jnp.concatenate([loc_rows, from_above, from_below], axis=0)
-        comb_valid = comb[:, 7] > 0
-        key = jnp.where(
-            comb_valid, comb[:, 6].astype(jnp.int32), _I32_MAX
+        # --- merged gid order WITHOUT a full-size sort (round 5) --- the
+        # chunk is gid-sorted, so the valid local rows are already an
+        # ascending-gid subsequence; only the two small arrival blocks sort.
+        # Merge positions come from two searchsorteds (gids are globally
+        # unique, so no cross-sequence ties exist), replacing the old
+        # argsort over all [n_cap + 2*cap_pb] rows — the binning sort below
+        # is then the phase's ONLY full-size sort.
+        arr = jnp.concatenate([from_above, from_below], axis=0)
+        arr_n = 2 * cap_pb
+        arr_valid = arr[:, 7] > 0
+        arr_key = jnp.where(arr_valid, arr[:, 6].astype(jnp.int32), _I32_MAX)
+        arr_order = jnp.argsort(arr_key).astype(jnp.int32)
+        arr_sorted = arr[arr_order]
+        arr_key_s = arr_key[arr_order]
+        arr_valid_s = arr_valid[arr_order]
+
+        loc_key = jnp.where(is_loc, gid, _I32_MAX)
+        loc_rank = jnp.cumsum(is_loc.astype(jnp.int32)) - 1
+        # dense sorted array of the valid local gids (tail = MAX) so the
+        # arrivals' searchsorted sees no invalid-row gaps
+        loc_compact = (
+            jnp.full((n_cap,), _I32_MAX, jnp.int32)
+            .at[jnp.where(is_loc, loc_rank, n_cap)]
+            .set(loc_key, mode="drop")
         )
-        order = jnp.argsort(key).astype(jnp.int32)
-        res = comb[order]
-        res_valid = comb_valid[order]
-        # permutation inverse by scatter, not a second argsort (O(n) vs
-        # O(n log n) — the same trick as bin_entities' rank inversion)
-        inv_order = (
-            jnp.zeros_like(order)
-            .at[order]
-            .set(jnp.arange(order.shape[0], dtype=jnp.int32))
+        M = n_cap + arr_n
+        pos_loc = loc_rank + jnp.searchsorted(
+            arr_key_s, loc_key
+        ).astype(jnp.int32)
+        pos_arr = jnp.arange(arr_n, dtype=jnp.int32) + jnp.searchsorted(
+            loc_compact, arr_key_s
+        ).astype(jnp.int32)
+        res = jnp.zeros((M, 8), f32)
+        res = res.at[jnp.where(is_loc, pos_loc, M)].set(packed, mode="drop")
+        res = res.at[jnp.where(arr_valid_s, pos_arr, M)].set(
+            arr_sorted, mode="drop"
         )
+        res_valid = res[:, 7] > 0
 
         rx, ry = res[:, 0], res[:, 1]
         grow_r = jnp.clip((ry * inv_s).astype(jnp.int32), 0, R_s - 1)
         gcol_r = jnp.clip((rx * inv_s).astype(jnp.int32), 0, C_s - 1)
-        lrow = jnp.clip(grow_r - d * rps, 0, rps - 1)
+        lrow = jnp.clip(grow_r - _sr_lo[d], 0, rps - 1)
         bins = bin_entities(
             rx, ry, res_valid, geom_s_loc, build_table=False,
             row=lrow, col=gcol_r,
@@ -521,18 +591,33 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
         flat_idx = jnp.where(in_grid, flat_idx, flat_cells)
         grid = scatter_solver_grid(res, flat_idx, rps, C_s, cap_s)
 
+        # bands vary in length (seam alignment): the last interior row is
+        # len_d, so the below-halo lands at len_d + 1 (dynamic index). Rows
+        # past it stay empty; the halo row now sits INSIDE the static
+        # interior window, where the solver redundantly computes (and
+        # discards) its displacement — owned rows' pair sums are unaffected.
+        len_d = _s_len[d]
+
         def fill_border(g):
-            fu = jax.lax.ppermute(g[rps : rps + 1], axis, down_perm)
+            fu = jax.lax.ppermute(
+                jax.lax.dynamic_slice_in_dim(g, len_d, 1, axis=0),
+                axis, down_perm,
+            )
             fd = jax.lax.ppermute(g[1:2], axis, up_perm)
-            return g.at[0:1].set(fu).at[rps + 1 : rps + 2].set(fd)
+            g = g.at[0:1].set(fu)
+            return jax.lax.dynamic_update_slice_in_dim(g, fd, len_d + 1, 0)
 
         grid = fill_border(grid)
 
         def halo_xy(gx, gy):
             st = jnp.stack([gx, gy], axis=0)
-            fu = jax.lax.ppermute(st[:, rps : rps + 1], axis, down_perm)
+            fu = jax.lax.ppermute(
+                jax.lax.dynamic_slice_in_dim(st, len_d, 1, axis=1),
+                axis, down_perm,
+            )
             fd = jax.lax.ppermute(st[:, 1:2], axis, up_perm)
-            st = st.at[:, 0:1].set(fu).at[:, rps + 1 : rps + 2].set(fd)
+            st = st.at[:, 0:1].set(fu)
+            st = jax.lax.dynamic_update_slice_in_dim(st, fd, len_d + 1, 1)
             return st[0], st[1]
 
         gx, gy, gpx, gpy, gcnt = run_solver_substeps(
@@ -550,11 +635,23 @@ def make_homed_step(engine, mesh: Mesh, headroom: float = 2.0,
                 in_grid.astype(f32)[:, None],
             ],
             axis=1,
-        )[inv_order]  # back to comb order: [locals | from_above | from_below]
+        )  # merged (res) order
 
-        loc_out = out_rows[: loc_rows.shape[0]]
-        ret_above = out_rows[loc_rows.shape[0] : loc_rows.shape[0] + cap_pb]
-        ret_below = out_rows[loc_rows.shape[0] + cap_pb :]
+        # locals read their merged slot directly; arrivals un-sort through
+        # the small block sort's permutation, then return to their senders
+        loc_out = out_rows[jnp.where(is_loc, pos_loc, 0)]
+        arr_out_s = jnp.where(
+            arr_valid_s[:, None],
+            out_rows[jnp.where(arr_valid_s, pos_arr, 0)],
+            0.0,
+        )
+        arr_out = (
+            jnp.zeros((arr_n, out_rows.shape[1]), f32)
+            .at[arr_order]
+            .set(arr_out_s)
+        )
+        ret_above = arr_out[:cap_pb]
+        ret_below = arr_out[cap_pb:]
         # return the processed blocks to their senders (reverse ppermutes)
         back_up = jax.lax.ppermute(ret_above, axis, down_perm)
         back_dn = jax.lax.ppermute(ret_below, axis, up_perm)
