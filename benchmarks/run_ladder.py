@@ -247,6 +247,41 @@ def rung_predators(
     }
 
 
+def rung_mixed_ladder(frames: int = 30) -> dict:
+    """Memory-bound-max MIXED rung (VERDICT r4 next #6 asks for "1M or
+    memory-bound max"): try 1M first, fall back down the ladder on device
+    OOM and record both the requested and the achieved scale. Each attempt
+    runs in ITS OWN subprocess — a RESOURCE_EXHAUSTED can leave the axon
+    runtime wedged for subsequent allocations in-process."""
+    import subprocess
+
+    for n in (1_000_000, 600_000, 300_000):
+        proc = subprocess.run(
+            [sys.executable, "-u", __file__, "--rung", f"mixed:{n}"],
+            capture_output=True, text=True, timeout=4000,
+        )
+        line = next(
+            (ln for ln in proc.stdout.splitlines()
+             if ln.startswith("RUNG_JSON ")), None,
+        )
+        if line is not None:
+            r = json.loads(line[len("RUNG_JSON "):])
+            r["requested_n"] = 1_000_000
+            if n < 1_000_000:
+                r["note"] = (
+                    f"memory-bound max on one v5e chip: {n} of 1M requested "
+                    "(per-entity neighbor/candidate planes exceed HBM at 1M "
+                    "single-chip; the 1M operating point is the sharded "
+                    "homed-mixed path, dryrun rung 1e)"
+                )
+            return r
+        tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+        if not any("RESOURCE_EXHAUSTED" in t or "out of memory" in t.lower()
+                   for t in tail):
+            return {"metric": f"mixed_{n}", "error": " | ".join(tail)}
+    return {"metric": "mixed", "error": "OOM at every rung size"}
+
+
 def rung_mixed(
     n_prey: int = 1_000_000, frames: int = 30, event_chunk: int = 30,
     cell_size: float = 160.0, cell_capacity: int = 64,
@@ -338,7 +373,7 @@ RUNGS = {
     "boids_15000": (rung_boids, (), {}),
     "predators_events": (rung_predators, (), {"events": True}),
     "predators_noevents": (rung_predators, (), {"events": False}),
-    "mixed_1m": (rung_mixed, (), {}),
+    "mixed_1m": (rung_mixed_ladder, (), {}),
 }
 
 
@@ -352,6 +387,10 @@ def main() -> None:
 
         enable_compile_cache()
         name = sys.argv[2]
+        if name.startswith("mixed:"):  # one attempt of the mixed size ladder
+            r = rung_mixed(n_prey=int(name.split(":")[1]))
+            print("RUNG_JSON " + json.dumps(r), flush=True)
+            return
         fn, args, kw = RUNGS[name]
         print("RUNG_JSON " + json.dumps(fn(*args, **kw)), flush=True)
         return
