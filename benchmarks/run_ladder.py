@@ -275,9 +275,13 @@ def rung_mixed_ladder(frames: int = 30) -> dict:
                     "homed-mixed path, dryrun rung 1e)"
                 )
             return r
-        tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
-        if not any("RESOURCE_EXHAUSTED" in t or "out of memory" in t.lower()
-                   for t in tail):
+        err = (proc.stderr or "") + (proc.stdout or "")
+        oom = any(pat in err for pat in (
+            "RESOURCE_EXHAUSTED", "exceed memory", "exceeds memory",
+            "out of memory", "Out of memory",
+        ))
+        if not oom:
+            tail = err.strip().splitlines()[-3:]
             return {"metric": f"mixed_{n}", "error": " | ".join(tail)}
     return {"metric": "mixed", "error": "OOM at every rung size"}
 
