@@ -7,14 +7,25 @@ idempotent helper, called from Engine.__init__ and the benchmark entry
 points, claims the win everywhere.
 
 Opt out with ``MTGE_NO_COMPILE_CACHE=1`` (e.g. when measuring cold-compile
-time itself).
+time itself); override the location with ``MTGE_CACHE_DIR``.
+
+The default lives under ``~/.cache``, NOT /tmp: /tmp is wiped between
+sessions on this class of host, which silently re-cold-compiled every
+program each session (the 1M rung's ~650 s "warm" in BENCH_LADDER_r05 was
+exactly this — the program itself caches fine, 15 MB, re-warming in ~60 s
+when the entry survives).
 """
 
 from __future__ import annotations
 
 import os
 
-DEFAULT_CACHE_DIR = "/tmp/mtge_jax_cache"
+DEFAULT_CACHE_DIR = os.environ.get(
+    "MTGE_CACHE_DIR",
+    os.path.join(
+        os.path.expanduser("~"), ".cache", "mtge_jax_cache"
+    ),
+)
 
 
 def enable_compile_cache(path: str = DEFAULT_CACHE_DIR) -> bool:

@@ -19,6 +19,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: the suite compiles many small configs; reruns
-# would otherwise pay the full XLA compile cost every time
-jax.config.update("jax_compilation_cache_dir", "/tmp/mtge_jax_cache")
+# would otherwise pay the full XLA compile cost every time. Shares the
+# package default (~/.cache — /tmp is wiped between sessions on this host
+# class, which silently re-cold-compiled the whole suite each session).
+from multithreadedgameengine_tpu.utils.cache import DEFAULT_CACHE_DIR  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", DEFAULT_CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
