@@ -1916,9 +1916,20 @@ class Engine:
         # _apply_columns), routing them through REBUILD — which re-bins from
         # the entity-order post-move state the every-frame readback keeps
         # current — while op-FREE plan frames ride the FAST layout branch.
-        # Churn plans (ops every frame) pay rebuild ≈ the old non-resident
-        # frame; sparse plans keep the full residency win.
+        # Gate by op density (round 5, measured on the churn rung): plans
+        # with ops on most frames pay rebuild + residency bookkeeping every
+        # frame and ran ~10% slower resident (281 vs 310 steps/s at
+        # 10k/256-churn), so DENSE chunks trace residency=False; sparse
+        # chunks keep the full residency win. Both variants are
+        # whole-trajectory bit-exact (test_frameplan_resident_parity /
+        # _sparse_ops_parity), so the gate is purely a perf choice.
         self._one_step_impl_plan = one_step_impl
+        import functools
+
+        self._one_step_impl_plan_dense = (
+            functools.partial(one_step_impl, residency=False)
+            if use_residency else one_step_impl
+        )
         self._step_fn = jax.jit(one_step_impl, donate_argnums=0)
         self._step_n_fn = jax.jit(n_steps, donate_argnums=0)
         self._event_chunk_fns = {}
@@ -2381,11 +2392,14 @@ class Engine:
         hooked = (
             self._hooked3() + self._screen_hooked2() if events_on else ()
         )
-        key = (names, tuple(buckets), K, events_on, hooked)
+        # op-density gate (see _build_step): chunks whose frames mostly
+        # carry op scatters trace the non-resident step variant
+        dense = 2 * sum(1 for cols, _ in frames if cols) >= len(frames)
+        key = (names, tuple(buckets), K, events_on, hooked, dense)
         fn = self._plan_fns.get(key)
         fresh = fn is None
         if fresh:
-            fn = self._build_plan_chunk(key, names, offs, K, events_on)
+            fn = self._build_plan_chunk(key, names, offs, K, events_on, dense)
         t0 = time.time()
         world, logs, metrics = fn(
             self.world, idx_all, val_all, inputs_tl, jnp.int32(F),
@@ -2402,8 +2416,12 @@ class Engine:
             self.timer.total_steps += F
         return metrics
 
-    def _build_plan_chunk(self, key, names, offs, K: int, events_on: bool):
-        one_step_impl = self._one_step_impl_plan
+    def _build_plan_chunk(self, key, names, offs, K: int, events_on: bool,
+                          dense: bool = False):
+        one_step_impl = (
+            self._one_step_impl_plan_dense if dense
+            else self._one_step_impl_plan
+        )
         if events_on:
             _specs, write_log, make_logs0, dropped_add = self._event_log_spec()
         zero_metrics = self._zero_metrics
